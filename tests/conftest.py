@@ -1,20 +1,29 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
-The reference renderer is validated with Vulkan validation layers; our analog is
-running every kernel in interpret/CPU mode with 8 virtual devices so the
-multi-chip sharding paths (plainrenderer_tpu.parallel) are exercised without a pod.
+The reference renderer is validated with Vulkan validation layers; our analog
+is running every kernel in interpret/CPU mode with 8 virtual devices so the
+multi-chip sharding paths (plainrenderer_tpu.parallel) are exercised without a
+pod.
+
+Note: this machine's sitecustomize imports jax at interpreter startup and
+registers a tunneled TPU backend ("axon"), so env vars alone are too late —
+we must update jax.config directly before any backend initializes.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Harmless if jax reads them later; the authoritative override is below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -77,11 +77,12 @@ def test_aces_fitted_properties():
     np.testing.assert_allclose(black, 0.0, atol=1e-4)
     bright = np.asarray(tonemap.aces_fitted(jnp.full((3,), 100.0)))
     assert (bright > 0.99).all()
-    # monotone in exposure for grey
+    # monotone in exposure for grey (non-strict at the clipped top end)
     greys = np.asarray(
         tonemap.aces_fitted(jnp.linspace(0.01, 10.0, 32)[:, None] * jnp.ones((1, 3)))
     )
-    assert (np.diff(greys[:, 1]) > 0).all()
+    assert (np.diff(greys[:, 1]) >= -1e-6).all()
+    assert (np.diff(greys[:8, 1]) > 0).all()
 
 
 def test_aces_approx_matches_shape():
