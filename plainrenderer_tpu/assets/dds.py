@@ -119,9 +119,13 @@ def read_dds(path: str | Path) -> DDSImage:
         raise ValueError(f"bad DDS header size {header_size} in {path}")
     depth = max(depth, 1)
     mip_count = max(mip_count, 1)
-    pf_flags, fourcc = struct.unpack_from("<II", data, 4 + 28 + 44 + 4)
+    # NOTE: like the reference reader (ImageIO.cpp:386-419) we key on the
+    # fourCC alone — the reference writer leaves pixelFormat.flags at 0
+    # (ImageIO.cpp:530-543), so requiring the FOURCC flag bit would reject
+    # its own files.
+    _pf_flags, fourcc = struct.unpack_from("<II", data, 4 + 28 + 44 + 4)
     offset = 4 + 124
-    if pf_flags & _PF_FLAG_FOURCC and fourcc == _FOURCC_DX10:
+    if fourcc == _FOURCC_DX10:
         dxgi, _dim, _misc, _arr, _misc2 = struct.unpack_from("<5I", data, offset)
         offset += 20
         if dxgi == DXGI_R16_FLOAT:

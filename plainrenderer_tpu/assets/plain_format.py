@@ -90,11 +90,27 @@ class ObjectBinary:
 
 
 @dataclasses.dataclass
-class SceneBinary:
-    """Common/Scene.h:16-18."""
+class Scene:
+    """Common/Scene.h:11-14 — full-precision scene (importer output)."""
 
-    objects: list
-    meshes: list
+    objects: list  # ObjectBinary
+    meshes: list  # MeshData
+
+
+@dataclasses.dataclass
+class SceneBinary:
+    """Common/Scene.h:16-18 — quantized scene (disk format)."""
+
+    objects: list  # ObjectBinary
+    meshes: list  # MeshBinary
+
+
+def scene_to_binary(scene: Scene) -> SceneBinary:
+    """MeshProcessing.cpp:14-113 applied over the whole scene."""
+    return SceneBinary(
+        objects=list(scene.objects),
+        meshes=[mesh_data_to_binary(m) for m in scene.meshes],
+    )
 
 
 def mesh_data_to_binary(mesh: MeshData) -> MeshBinary:
