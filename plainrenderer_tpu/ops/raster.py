@@ -1,0 +1,695 @@
+"""TPU-native triangle rasterization (visibility + G-buffer).
+
+Replaces the reference's Vulkan raster passes (depthPrepass.vert/.frag,
+sunShadow.vert/.frag, triangle.vert and the fixed-function rasterizer) with a
+three-stage, fully data-parallel design chosen for TPU hardware:
+
+  1. geometry stage (dense jnp, MXU): pre-instanced per-corner arrays are
+     transformed by the view-projection matrix; per-triangle edge functions,
+     a screen-affine reverse-Z plane and perspective-correct attribute planes
+     are computed with zero gathers (corners are stored unindexed).
+  2. binning (jnp): per-triangle fine-tile (16x128 px) coverage is expanded
+     into (tile, triangle) pairs via static span classes, sorted by tile with
+     ONE bounded lax.sort, and the per-triangle setups are duplicated into
+     pair order with a contiguous-row take (runs at HBM copy speed; measured
+     ~1ms/141MB on v5e, unlike XLA's per-element gather at ~8 cycles/elem).
+  3. raster kernel (Pallas): one program per 16x128 tile streams its
+     contiguous pair-setup slice from HBM with double-buffered DMA, evaluates
+     16 triangles x 1024 pixels per jax.lax.dot_general on the MXU
+     (edge/depth evaluation IS a matmul: [coeff 3 x 64 planes]^T [3 x 1024
+     pixel basis]), and resolves visibility with a single integer max by
+     packing the pair slot into the low mantissa bits of the reverse-Z f32
+     depth. The G-buffer pass then selects each pixel's winning attribute
+     plane coefficients with jnp.take_along_axis along lanes (the TPU's fast
+     in-register gather) and evaluates them per pixel.
+
+Reverse-Z, GreaterEqual compares, and Vulkan NDC conventions match the
+reference exactly (Camera.cpp:14-27; depth tests at RenderFrontend.cpp:1574,
+1726). Known v1 limitations (documented, revisited in later rounds):
+triangles crossing the near plane are culled rather than clipped, and there
+is no alpha-test path in the visibility stage yet.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 16
+TILE_W = 128
+PX_PER_TILE = TILE_H * TILE_W  # 2048
+GROUP = 64  # pairs per DMA + MXU step: (3,256)x(3,2048) per group
+SLOT_BITS = 11  # pair-slot bits packed into the depth mantissa
+SLOT_MASK = (1 << SLOT_BITS) - 1
+MAX_PAIRS_PER_TILE = 1 << SLOT_BITS
+NATTR = 48  # attribute-plane rows per triangle (16 planes x 3 coeffs)
+
+# span classes (tiles_y, tiles_x); a triangle lands in the smallest class
+# covering its tile-space bbox. cap_frac is the per-class capacity as a
+# fraction of the triangle count (static shapes; overflow is dropped and
+# counted). The final "fullscreen" class is appended at runtime.
+SPAN_CLASSES = (
+    ((1, 1), 1.0),
+    ((2, 1), 0.75),
+    ((2, 2), 0.5),
+    ((4, 2), 0.25),
+    ((4, 4), 0.125),
+    ((8, 4), 0.0625),
+    ((16, 8), 0.03125),
+)
+FULLSCREEN_CAP = 64
+
+
+def pad_resolution(width: int, height: int) -> tuple[int, int]:
+    """Framebuffer padded so tiles divide it exactly."""
+    w = (width + TILE_W - 1) // TILE_W * TILE_W
+    h = (height + TILE_H - 1) // TILE_H * TILE_H
+    return w, h
+
+
+@dataclasses.dataclass
+class TriangleSetup:
+    """Per-triangle raster state (all dense, (T,)-leading)."""
+
+    edges: jnp.ndarray  # (3, 4, T) f32: [coeff a/b/c][e0,e1,e2,z][tri]
+    attrs: jnp.ndarray  # (NATTR, T) f32 attr-plane rows (main view only)
+    tile_bbox: jnp.ndarray  # (T, 4) i32: ty0, tx0, ty1, tx1 (inclusive)
+    valid: jnp.ndarray  # (T,) bool
+
+
+def _edge_coeffs(xa, ya, xb, yb):
+    """Edge function E(x, y) = (x-xa)(yb-ya) - (y-ya)(xb-xa) as (a, b, c)."""
+    a = yb - ya
+    b = -(xb - xa)
+    c = -(xa * a + ya * b)
+    return a, b, c
+
+
+def geometry_setup(
+    corners: jnp.ndarray,  # (T, 3, 3) world-space corner positions
+    corner_uvs: jnp.ndarray,  # (T, 3, 2)
+    corner_normals: jnp.ndarray,  # (T, 3, 3)
+    corner_tangents: jnp.ndarray,  # (T, 3, 3)
+    corner_bitangents: jnp.ndarray,  # (T, 3, 3)
+    tri_material: jnp.ndarray,  # (T,) f32 material id
+    tri_visible: jnp.ndarray,  # (T,) bool (object-level culling mask)
+    view_proj: jnp.ndarray,  # (4, 4)
+    prev_view_proj: jnp.ndarray,  # (4, 4)
+    width: int,
+    height: int,
+    cull: str = "back",  # 'back' | 'front' | 'none'
+    with_attrs: bool = True,
+) -> TriangleSetup:
+    """Dense per-triangle setup. Mirrors the vertex-stage semantics of
+    triangle.vert / depthPrepass.vert with reverse-Z viewport transform."""
+    t_count = corners.shape[0]
+    flat = corners.reshape(-1, 3)
+    clip = flat @ view_proj[:3, :3].T + view_proj[:3, 3]
+    clip_w = flat @ view_proj[3, :3] + view_proj[3, 3]
+    clip = clip.reshape(t_count, 3, 3)
+    w = clip_w.reshape(t_count, 3)
+
+    w_ok = jnp.all(w > 1e-6, axis=1)
+    inv_w = 1.0 / jnp.where(w_ok[:, None], w, 1.0)
+    ndc = clip[..., :2] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width
+    sy = (ndc[..., 1] * 0.5 + 0.5) * height  # Vulkan NDC y-down == screen y
+    z = clip[..., 2] * inv_w  # reverse-Z in [0, 1]
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+
+    if cull == "back":
+        face_ok = area2 > 0
+    elif cull == "front":
+        face_ok = area2 < 0
+    else:
+        face_ok = jnp.abs(area2) > 0
+    valid = w_ok & face_ok & tri_visible & (jnp.abs(area2) > 1e-12)
+
+    # orient edges so inside == all(E >= 0) for either winding
+    # (E as defined above is negative inside positive-area triangles)
+    flip = jnp.where(area2 < 0, 1.0, -1.0)
+    e0 = _edge_coeffs(x0, y0, x1, y1)
+    e1 = _edge_coeffs(x1, y1, x2, y2)
+    e2 = _edge_coeffs(x2, y2, x0, y0)
+
+    # screen-affine plane through (x_i, y_i, q_i): q(x,y) = a x + b y + c
+    inv_area = 1.0 / jnp.where(valid, area2, 1.0)
+
+    def plane(q0, q1, q2):
+        qa = ((q1 - q0) * (y2 - y0) - (q2 - q0) * (y1 - y0)) * inv_area
+        qb = ((q2 - q0) * (x1 - x0) - (q1 - q0) * (x2 - x0)) * inv_area
+        qc = q0 - qa * x0 - qb * y0
+        return qa, qb, qc
+
+    zp = plane(z[:, 0], z[:, 1], z[:, 2])
+    never = (jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.full_like(x0, -1.0))
+    e0 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e0, never))
+    e1 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e1, never))
+    e2 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e2, never))
+    zp = tuple(jnp.where(valid, c, 0.0) for c in zp)
+
+    # edges layout (3 coeffs, 4 planes, T)
+    edges = jnp.stack(
+        [
+            jnp.stack([e0[0], e1[0], e2[0], zp[0]], axis=0),
+            jnp.stack([e0[1], e1[1], e2[1], zp[1]], axis=0),
+            jnp.stack([e0[2], e1[2], e2[2], zp[2]], axis=0),
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+
+    # tile bbox (clamped); invalid tris get an empty bbox
+    ntx = width // TILE_W
+    nty = height // TILE_H
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    tx0 = jnp.clip(jnp.floor(xmin / TILE_W), 0, ntx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(xmax / TILE_W), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / TILE_H), 0, nty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / TILE_H), 0, nty - 1).astype(jnp.int32)
+    offscreen = (xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height)
+    valid = valid & ~offscreen
+    tile_bbox = jnp.stack(
+        [
+            jnp.where(valid, ty0, 1),
+            jnp.where(valid, tx0, 1),
+            jnp.where(valid, ty1, 0),
+            jnp.where(valid, tx1, 0),
+        ],
+        axis=1,
+    )
+
+    if not with_attrs:
+        attrs = jnp.zeros((NATTR, 0), jnp.float32)
+        return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
+                             valid=valid)
+
+    # perspective-correct attribute planes: interpolate q/w and 1/w affinely
+    prev_clip = flat @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
+    prev_w = flat @ prev_view_proj[3, :3] + prev_view_proj[3, 3]
+    prev_clip = prev_clip.reshape(t_count, 3, 3)
+    prev_w = prev_w.reshape(t_count, 3)
+
+    rows = []
+
+    def add_plane(q_corners):  # q_corners (T, 3)
+        rows.extend(plane(q_corners[:, 0], q_corners[:, 1], q_corners[:, 2]))
+
+    add_plane(inv_w)  # rows 0-2: 1/w
+    add_plane(corner_uvs[..., 0] * inv_w)  # 3-5: u/w
+    add_plane(corner_uvs[..., 1] * inv_w)  # 6-8: v/w
+    for comp in range(3):  # 9-17: normal/w
+        add_plane(corner_normals[..., comp] * inv_w)
+    for comp in range(3):  # 18-26: tangent/w
+        add_plane(corner_tangents[..., comp] * inv_w)
+    for comp in range(3):  # 27-35: bitangent/w
+        add_plane(corner_bitangents[..., comp] * inv_w)
+    add_plane(prev_clip[..., 0] * inv_w)  # 36-38: prev clip x / w
+    add_plane(prev_clip[..., 1] * inv_w)  # 39-41: prev clip y / w
+    add_plane(prev_w * inv_w)  # 42-44: prev w / w
+    # 45-47: material id as a constant plane (a=b=0, c=id)
+    rows.append(jnp.zeros_like(x0))
+    rows.append(jnp.zeros_like(x0))
+    rows.append(tri_material.astype(jnp.float32))
+
+    attrs = jnp.stack(rows, axis=0).astype(jnp.float32)  # (NATTR, T)
+    return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
+                         valid=valid)
+
+
+# --------------------------------------------------------------------------
+# binning
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PairLists:
+    """Sorted (tile, triangle) pair stream + per-tile ranges."""
+
+    pair_tri: jnp.ndarray  # (P,) i32 triangle index per pair (T == dummy)
+    tile_start: jnp.ndarray  # (n_tiles,) i32 raw offset into the pair stream
+    tile_groups: jnp.ndarray  # (n_tiles,) i32 number of GROUP-sized groups
+    overflow: jnp.ndarray  # () i32 diagnostic: dropped pairs/triangles
+
+
+def _class_table(n_tiles_y: int, n_tiles_x: int):
+    classes = [(span, frac) for span, frac in SPAN_CLASSES]
+    classes.append(((n_tiles_y, n_tiles_x), None))  # fullscreen
+    return classes
+
+
+def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int) -> PairLists:
+    """Expand triangles into sorted per-tile pair lists.
+
+    One lax.sort over a statically-bounded candidate array (span classes with
+    capacity caps) replaces the reference's per-drawcall command recording;
+    the per-tile GROUP padding uses per-tile dummy pairs keyed to sort
+    directly after their tile's real pairs.
+    """
+    t_count = setup.valid.shape[0]
+    n_tiles = n_tiles_y * n_tiles_x
+    ty0, tx0, ty1, tx1 = (setup.tile_bbox[:, i] for i in range(4))
+    span_y = ty1 - ty0 + 1
+    span_x = tx1 - tx0 + 1
+
+    classes = _class_table(n_tiles_y, n_tiles_x)
+    # class id = first class whose span covers the triangle's span
+    class_id = jnp.full((t_count,), len(classes) - 1, jnp.int32)
+    for ci in reversed(range(len(classes) - 1)):
+        (cy, cx), _ = classes[ci]
+        fits = (span_y <= cy) & (span_x <= cx)
+        class_id = jnp.where(fits, ci, class_id)
+    class_id = jnp.where(setup.valid, class_id, len(classes))  # invalid last
+
+    # sort triangles by class once; per-class slices come out contiguous
+    order_key = class_id * (t_count + 1) + jnp.arange(t_count, dtype=jnp.int32)
+    _, tri_by_class = jax.lax.sort(
+        (order_key, jnp.arange(t_count, dtype=jnp.int32)), num_keys=1
+    )
+    # dense per-class counts (avoids XLA scatter, which is slow on TPU)
+    class_counts = jnp.stack(
+        [jnp.sum(class_id == ci).astype(jnp.int32)
+         for ci in range(len(classes) + 1)]
+    )
+    class_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(class_counts)]
+    )
+
+    invalid_key = jnp.int32(2 * n_tiles + 2)
+    key_chunks = []
+    val_chunks = []
+    overflow = jnp.int32(0)
+    tri_by_class_padded = jnp.concatenate(
+        [tri_by_class, jnp.zeros((t_count,), jnp.int32)]
+    )
+
+    for ci, ((cy, cx), frac) in enumerate(classes):
+        cap = FULLSCREEN_CAP if frac is None else max(GROUP, int(t_count * frac))
+        cap = min(cap, t_count)
+        start = class_offsets[ci]
+        count = class_counts[ci]
+        overflow = overflow + jnp.maximum(count - cap, 0)
+        tris = jax.lax.dynamic_slice(tri_by_class_padded, (start,), (cap,))
+        in_class = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(count, cap)
+        # candidate tiles: the (cy x cx) window anchored at the tri's bbox
+        cand_ty = ty0[tris][:, None] + jnp.arange(cy, dtype=jnp.int32)[None, :]
+        cand_tx = tx0[tris][:, None] + jnp.arange(cx, dtype=jnp.int32)[None, :]
+        ok_y = cand_ty <= ty1[tris][:, None]  # (cap, cy)
+        ok_x = cand_tx <= tx1[tris][:, None]  # (cap, cx)
+        ok = (ok_y[:, :, None] & ok_x[:, None, :]) & in_class[:, None, None]
+        tile_lin = (
+            jnp.clip(cand_ty, 0, n_tiles_y - 1)[:, :, None] * n_tiles_x
+            + jnp.clip(cand_tx, 0, n_tiles_x - 1)[:, None, :]
+        )
+        keys = jnp.where(ok, tile_lin * 2, invalid_key).reshape(-1)
+        vals = jnp.broadcast_to(tris[:, None, None], ok.shape).reshape(-1)
+        key_chunks.append(keys.astype(jnp.int32))
+        val_chunks.append(vals.astype(jnp.int32))
+
+    # per-tile dummy pairs: key = tile*2+1 sorts right after the tile's reals
+    dummy_keys = (
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * 2 + 1
+        + jnp.zeros((1, GROUP - 1), jnp.int32)
+    ).reshape(-1)
+    dummy_vals = jnp.full_like(dummy_keys, t_count)  # degenerate setup row
+    key_chunks.append(dummy_keys)
+    val_chunks.append(dummy_vals)
+
+    keys = jnp.concatenate(key_chunks)
+    vals = jnp.concatenate(val_chunks)
+    keys_sorted, pair_tri = jax.lax.sort((keys, vals), num_keys=1)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(keys_sorted, tile_ids * 2).astype(jnp.int32)
+    first_dummy = jnp.searchsorted(keys_sorted, tile_ids * 2 + 1).astype(jnp.int32)
+    n_real = first_dummy - tile_start
+    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE - GROUP)
+    overflow = overflow + jnp.sum(n_real - capped)
+    tile_groups = (capped + GROUP - 1) // GROUP
+    return PairLists(
+        pair_tri=pair_tri,
+        tile_start=tile_start,
+        tile_groups=tile_groups,
+        overflow=overflow,
+    )
+
+
+def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
+                       with_attrs: bool):
+    """Duplicate per-triangle setups into pair order (contiguous-row takes).
+
+    Returns (pair_edges (P, 12) f32, pair_attrs (NATTR, P) f32 | None).
+    The kernel DMAs contiguous slices of these; layouts chosen so no
+    in-kernel transpose is needed: pair_edges rows are [a0 b0 c0 a1 ... c3]
+    re-grouped in-kernel via a (3,4,GROUP) DMA view of the transposed copy.
+    """
+    t_count = setup.valid.shape[0]
+    # pad triangle tables with one degenerate entry at index T
+    never = jnp.zeros((3, 4, 1), jnp.float32).at[2, :, 0].set(-1.0)
+    edges_pad = jnp.concatenate([setup.edges, never], axis=2)  # (3,4,T+1)
+    # (T+1, 12) row-major per triangle for the copy-speed take
+    edges_rows = edges_pad.transpose(2, 0, 1).reshape(t_count + 1, 12)
+    pair_rows = edges_rows[pairs.pair_tri]  # (P, 12) contiguous-row take
+    # kernel layout (3, 4, P): coeff-major so the DMA slice reshapes to the
+    # (3, 64) MXU operand with zero relayout
+    pair_edges = pair_rows.reshape(-1, 3, 4).transpose(1, 2, 0)
+
+    pair_attrs = None
+    if with_attrs:
+        attrs_pad = jnp.concatenate(
+            [setup.attrs, jnp.zeros((NATTR, 1), jnp.float32)], axis=1
+        )
+        attr_rows = attrs_pad.T[pairs.pair_tri]  # (P, NATTR)
+        pair_attrs = attr_rows.T  # (NATTR, P)
+    return pair_edges, pair_attrs
+
+
+# --------------------------------------------------------------------------
+# raster kernels
+# --------------------------------------------------------------------------
+
+GBUF_CHANNELS = 18
+_CH_U, _CH_V = 0, 1
+_CH_DUDX, _CH_DVDX, _CH_DUDY, _CH_DVDY = 2, 3, 4, 5
+_CH_N = 6  # 6-8 normal
+_CH_T = 9  # 9-11 tangent
+_CH_B = 12  # 12-14 bitangent
+_CH_PREV = 15  # 15-16 prev ndc xy
+_CH_MAT = 17
+
+def _pixel_basis(tile_y, tile_x):
+    """(3, PX_PER_TILE) matrix [x; y; 1] at pixel centers for this tile.
+
+    Pixels are laid out lane-linear: lane j = (row j // TILE_W, col j %
+    TILE_W) of the tile; the final (1, PX) accumulator reshapes to
+    (TILE_H, TILE_W) once per tile.
+    """
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PX_PER_TILE), 1)
+    x_local = (lin % TILE_W).astype(jnp.float32) + 0.5
+    y_local = (lin // TILE_W).astype(jnp.float32) + 0.5
+    x = x_local + (tile_x * TILE_W).astype(jnp.float32)
+    y = y_local + (tile_y * TILE_H).astype(jnp.float32)
+    ones = jnp.ones_like(x)
+    return jnp.concatenate([x, y, ones], axis=0)  # (3, PX)
+
+
+def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
+                        acc_ref, edge_buf, sems, *, track_winner: bool):
+    """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
+    edge+depth planes on the MXU, resolve a packed (depth | slot) max."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * pl.num_programs(1) + tx
+    start = start_ref[tile]
+    n_groups = ngroups_ref[tile]
+
+    basis = _pixel_basis(ty, tx)  # (3, PX)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def group_dma(slot, g):
+        return pltpu.make_async_copy(
+            edges_ref.at[:, :, pl.ds(start + g * GROUP, GROUP)],
+            edge_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_groups > 0)
+    def _():
+        group_dma(0, 0).start()
+
+    def group_body(g, _):
+        slot = jax.lax.rem(g, 2)
+
+        @pl.when(g + 1 < n_groups)
+        def _():
+            group_dma(1 - slot, g + 1).start()
+
+        group_dma(slot, g).wait()
+        # (3, 4, GROUP) -> (3, 4*GROUP): contiguous minor dims, no relayout
+        mat = edge_buf[slot].reshape(3, 4 * GROUP)
+        # planes (4*GROUP, PX): rows [e0 of all GROUP pairs, e1..., e2..., z...]
+        planes = jax.lax.dot_general(
+            mat, basis, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        e0 = planes[0 * GROUP:1 * GROUP]
+        e1 = planes[1 * GROUP:2 * GROUP]
+        e2 = planes[2 * GROUP:3 * GROUP]
+        zz = planes[3 * GROUP:4 * GROUP]
+        cov = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0) & (zz > 0.0)
+        zc = jnp.clip(zz, 0.0, 1.0)
+        zi = pltpu.bitcast(zc, jnp.int32)
+        if track_winner:
+            slot_iota = (
+                jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
+                + g * GROUP
+            )
+            cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | slot_iota, 0)
+        else:
+            cand = jnp.where(cov, zi, 0)
+        group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
+        acc_ref[...] = jnp.maximum(acc_ref[...], group_max)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, group_body, 0)
+
+    acc = acc_ref[...]  # (1, PX) int32
+    if track_winner:
+        depth_bits = acc & jnp.int32(~SLOT_MASK)
+    else:
+        depth_bits = acc
+    depth = pltpu.bitcast(depth_bits, jnp.float32)
+    depth_ref[...] = depth.reshape(TILE_H, TILE_W)
+    if vis_ref is not None:
+        vis = jnp.where(acc != 0, acc & SLOT_MASK, -1)
+        vis_ref[...] = vis.reshape(TILE_H, TILE_W)
+
+
+def _depth_kernel(start_ref, ngroups_ref, edges_ref, depth_ref,
+                  acc_ref, edge_buf, sems):
+    _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, None,
+                        acc_ref, edge_buf, sems, track_winner=False)
+
+
+def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
+                    n_tiles_x: int, interpret: bool = False):
+    """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity).
+
+    Returns depth (H, W) f32 reverse-Z (0 = far / no coverage).
+    """
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles_y, n_tiles_x),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
+            pltpu.VMEM((2, 3, 4, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    h = n_tiles_y * TILE_H
+    w = n_tiles_x * TILE_W
+    (depth,) = pl.pallas_call(
+        _depth_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
+        interpret=interpret,
+    )(pairs.tile_start, pairs.tile_groups, pair_edges)
+    return depth
+
+
+def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
+                    depth_ref, vis_ref, gbuf_ref,
+                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem):
+    """Full visibility + attribute resolve for the main view."""
+    _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
+                        acc_ref, edge_buf, sems, track_winner=True)
+
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * pl.num_programs(1) + tx
+    start = start_ref[tile]
+    n_groups = ngroups_ref[tile]
+
+    acc = acc_ref[...]  # (1, PX) int32 packed depth|slot
+    valid_px = acc != 0
+    slot_px = acc & SLOT_MASK  # (1, PX)
+
+    coeff_ref[...] = jnp.zeros_like(coeff_ref)
+    n_slot_groups = (n_groups * GROUP + 127) // 128
+
+    def sg_body(sg, _):
+        sel = valid_px & ((slot_px >> 7) == sg)
+        hit = jnp.any(sel)
+
+        @pl.when(hit)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + sg * 128, 128)],
+                attr_buf,
+                attr_sem,
+            )
+            dma.start()
+            dma.wait()
+            # per-pixel local slot in [0, 128) -> lane-gather indices
+            idx8 = jnp.clip(slot_px - sg * 128, 0, 127).reshape(TILE_H, TILE_W)
+            sel8 = sel.reshape(TILE_H, TILE_W)
+            for c in range(NATTR):
+                row = jnp.broadcast_to(attr_buf[c:c + 1, :], (TILE_H, 128))
+                val = jnp.take_along_axis(row, idx8, axis=1)
+                coeff_ref[c] = jnp.where(sel8, val, coeff_ref[c])
+        return 0
+
+    jax.lax.fori_loop(0, n_slot_groups, sg_body, 0)
+
+    # evaluate attribute planes per pixel
+    lin = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    x = lin.astype(jnp.float32) + 0.5 + (tx * TILE_W)
+    yrow = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    y = yrow.astype(jnp.float32) + 0.5 + (ty * TILE_H)
+    valid = valid_px.reshape(TILE_H, TILE_W)
+
+    def ev(base):
+        return coeff_ref[base] * x + coeff_ref[base + 1] * y + coeff_ref[base + 2]
+
+    inv_w = ev(0)
+    w = jnp.where(valid, 1.0 / jnp.maximum(inv_w, 1e-12), 0.0)
+    u_over_w = ev(3)
+    v_over_w = ev(6)
+    u = u_over_w * w
+    v = v_over_w * w
+    # rational derivatives: d(U/W)/dx = (Ua - u * Wa) * w
+    ua, ub = coeff_ref[3], coeff_ref[4]
+    va, vb = coeff_ref[6], coeff_ref[7]
+    wa, wb = coeff_ref[0], coeff_ref[1]
+    gbuf_ref[_CH_U] = u
+    gbuf_ref[_CH_V] = v
+    gbuf_ref[_CH_DUDX] = (ua - u * wa) * w
+    gbuf_ref[_CH_DVDX] = (va - v * wa) * w
+    gbuf_ref[_CH_DUDY] = (ub - u * wb) * w
+    gbuf_ref[_CH_DVDY] = (vb - v * wb) * w
+
+    def vec3(base_row, out_base, normalize):
+        cx = ev(base_row) * w
+        cy = ev(base_row + 3) * w
+        cz = ev(base_row + 6) * w
+        if normalize:
+            inv_len = jax.lax.rsqrt(jnp.maximum(cx * cx + cy * cy + cz * cz,
+                                                1e-20))
+            cx, cy, cz = cx * inv_len, cy * inv_len, cz * inv_len
+        gbuf_ref[out_base] = jnp.where(valid, cx, 0.0)
+        gbuf_ref[out_base + 1] = jnp.where(valid, cy, 0.0)
+        gbuf_ref[out_base + 2] = jnp.where(valid, cz, 0.0)
+
+    vec3(9, _CH_N, True)
+    vec3(18, _CH_T, True)
+    vec3(27, _CH_B, True)
+
+    prev_x = ev(36) * w
+    prev_y = ev(39) * w
+    prev_w = ev(42) * w
+    inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
+    gbuf_ref[_CH_PREV] = jnp.where(valid, prev_x * inv_pw, 0.0)
+    gbuf_ref[_CH_PREV + 1] = jnp.where(valid, prev_y * inv_pw, 0.0)
+    gbuf_ref[_CH_MAT] = coeff_ref[47]
+
+
+def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
+                      n_tiles_y: int, n_tiles_x: int, interpret: bool = False):
+    """Main-view rasterization producing depth + visibility + G-buffer.
+
+    G-buffer channels: uv (0-1), uv screen derivatives (2-5), world normal
+    (6-8), tangent (9-11), bitangent (12-14), previous-frame NDC xy (15-16),
+    material id (17) — the depthPrepass.frag outputs plus what triangle.vert
+    would feed the forward pass, resolved visibility-buffer style.
+    """
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles_y, n_tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GBUF_CHANNELS, TILE_H, TILE_W),
+                         lambda ty, tx, *_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
+            pltpu.VMEM((NATTR, TILE_H, TILE_W), jnp.float32),
+            pltpu.VMEM((2, 3, 4, GROUP), jnp.float32),
+            pltpu.VMEM((NATTR, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    h = n_tiles_y * TILE_H
+    w = n_tiles_x * TILE_W
+    depth, vis, gbuf = pl.pallas_call(
+        _gbuffer_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((GBUF_CHANNELS, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pairs.tile_start, pairs.tile_groups, pair_edges, pair_attrs)
+    return depth, vis, gbuf
+
+
+# --------------------------------------------------------------------------
+# reference rasterizer (numpy, for tests)
+# --------------------------------------------------------------------------
+
+def winner_triangle_ids(vis: jnp.ndarray, pairs: PairLists,
+                        n_tiles_x: int) -> jnp.ndarray:
+    """Map per-pixel tile-local slots back to global triangle ids (tests /
+    debug visualization only: uses an XLA gather)."""
+    h, w = vis.shape
+    ty = jnp.arange(h) // TILE_H
+    tx = jnp.arange(w) // TILE_W
+    tile = ty[:, None] * n_tiles_x + tx[None, :]
+    idx = pairs.tile_start[tile] + jnp.maximum(vis, 0)
+    tri = pairs.pair_tri[idx]
+    return jnp.where(vis >= 0, tri, -1)
+
+
+def reference_rasterize(setup_edges: np.ndarray, valid: np.ndarray,
+                        width: int, height: int):
+    """Brute-force numpy rasterizer with identical rules (reverse-Z max,
+    inside = all edges >= 0 at pixel centers). setup_edges is (3, 4, T)."""
+    xs = np.arange(width) + 0.5
+    ys = np.arange(height) + 0.5
+    depth = np.zeros((height, width), np.float32)
+    winner = np.full((height, width), -1, np.int32)
+    a, b, c = setup_edges[0], setup_edges[1], setup_edges[2]  # (4, T)
+    for t in range(setup_edges.shape[2]):
+        if not valid[t]:
+            continue
+        ex = a[:, t][:, None, None] * xs[None, None, :] + \
+            b[:, t][:, None, None] * ys[None, :, None] + c[:, t][:, None, None]
+        cov = (ex[0] >= 0) & (ex[1] >= 0) & (ex[2] >= 0)
+        z = np.clip(ex[3], 0.0, 1.0)
+        upd = cov & (z > 0) & (z >= depth)
+        depth[upd] = z[upd]
+        winner[upd] = t
+    return depth, winner

@@ -1,0 +1,185 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plainrenderer_tpu.ops import raster
+from plainrenderer_tpu.scene import camera as cam
+
+W, H = 256, 64  # 2x4 tiles
+NTX, NTY = W // raster.TILE_W, H // raster.TILE_H
+
+
+def make_setup(tris_world, vp=None, prev_vp=None, cull="none"):
+    """tris_world: (T, 3, 3) world corners."""
+    t = np.asarray(tris_world, np.float32)
+    n = t.shape[0]
+    if vp is None:
+        # simple orthographic-ish: x,y in [0,1] map to screen, z passthrough
+        vp = np.eye(4, dtype=np.float32)
+        vp[0, 0] = 2.0
+        vp[0, 3] = -1.0
+        vp[1, 1] = 2.0
+        vp[1, 3] = -1.0
+    if prev_vp is None:
+        prev_vp = vp
+    uvs = np.zeros((n, 3, 2), np.float32)
+    uvs[:, 1, 0] = 1.0
+    uvs[:, 2, 1] = 1.0
+    normals = np.tile(np.asarray([0, 0, 1], np.float32), (n, 3, 1))
+    return raster.geometry_setup(
+        jnp.asarray(t), jnp.asarray(uvs), jnp.asarray(normals),
+        jnp.asarray(normals), jnp.asarray(normals),
+        jnp.zeros((n,), jnp.float32), jnp.ones((n,), bool),
+        jnp.asarray(vp), jnp.asarray(prev_vp), W, H, cull=cull,
+    )
+
+
+def unit_tri(cx, cy, size, z):
+    """Counter-clockwise-on-screen triangle in [0,1]^2 ortho space."""
+    return [
+        [cx - size, cy - size, z],
+        [cx + size, cy - size, z],
+        [cx, cy + size, z],
+    ]
+
+
+def full_raster(setup, interpret=True):
+    pairs = raster.build_pairs(setup, NTY, NTX)
+    pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True)
+    depth, vis, gbuf = raster.rasterize_gbuffer(
+        pair_edges, pair_attrs, pairs, NTY, NTX, interpret=interpret
+    )
+    tri_ids = raster.winner_triangle_ids(vis, pairs, NTX)
+    return np.asarray(depth), np.asarray(tri_ids), np.asarray(gbuf), pairs
+
+
+def test_single_triangle_coverage_and_depth():
+    setup = make_setup([unit_tri(0.5, 0.5, 0.3, 0.75)])
+    depth, ids, gbuf, pairs = full_raster(setup)
+    ref_depth, ref_ids = raster.reference_rasterize(
+        np.asarray(setup.edges), np.asarray(setup.valid), W, H
+    )
+    assert (ids >= 0).sum() > 100
+    np.testing.assert_array_equal(ids >= 0, ref_ids >= 0)
+    # depth quantized to 12-bit mantissa by slot packing
+    covered = ids >= 0
+    np.testing.assert_allclose(depth[covered], ref_depth[covered], atol=2e-3)
+    assert int(pairs.overflow) == 0
+
+
+def test_depth_test_greater_equal_reverse_z(rng):
+    # near triangle (z=0.9) drawn FIRST, far (z=0.4) second, overlapping:
+    # reverse-Z max keeps the near one.
+    tris = [unit_tri(0.5, 0.5, 0.35, 0.9), unit_tri(0.5, 0.5, 0.35, 0.4)]
+    setup = make_setup(tris)
+    depth, ids, _, _ = full_raster(setup)
+    overlap = ids >= 0
+    assert overlap.sum() > 100
+    assert (ids[overlap] == 0).all()
+    np.testing.assert_allclose(depth[overlap].max(), 0.9, atol=2e-3)
+
+
+def test_many_random_triangles_match_reference(rng):
+    tris = []
+    for _ in range(40):
+        cx, cy = rng.uniform(0.1, 0.9, 2)
+        size = rng.uniform(0.02, 0.2)
+        z = rng.uniform(0.1, 0.95)
+        tris.append(unit_tri(cx, cy, size, z))
+    setup = make_setup(tris)
+    depth, ids, _, pairs = full_raster(setup)
+    ref_depth, ref_ids = raster.reference_rasterize(
+        np.asarray(setup.edges), np.asarray(setup.valid), W, H
+    )
+    np.testing.assert_array_equal(ids >= 0, ref_ids >= 0)
+    covered = ids >= 0
+    # winners must match except where quantized depths tie
+    diff = ids[covered] != ref_ids[covered]
+    assert diff.mean() < 0.01
+    np.testing.assert_allclose(depth[covered], ref_depth[covered], atol=2e-3)
+
+
+def test_binning_covers_all_tiles_of_large_triangle():
+    # one triangle covering most of the screen -> fullscreen span class
+    setup = make_setup([unit_tri(0.5, 0.5, 1.2, 0.5)])
+    depth, ids, _, pairs = full_raster(setup)
+    ref_depth, ref_ids = raster.reference_rasterize(
+        np.asarray(setup.edges), np.asarray(setup.valid), W, H
+    )
+    np.testing.assert_array_equal(ids >= 0, ref_ids >= 0)
+    assert (ids >= 0).sum() > 0.5 * W * H
+
+
+def test_gbuffer_uv_interpolation_perspective_correct():
+    # right triangle with uv = barycentric mapping; constant z plane =>
+    # affine == perspective-correct; check uv at interior pixels
+    setup = make_setup([unit_tri(0.5, 0.5, 0.4, 0.6)])
+    depth, ids, gbuf, _ = full_raster(setup)
+    covered = ids >= 0
+    u = gbuf[raster._CH_U]
+    v = gbuf[raster._CH_V]
+    ys, xs = np.nonzero(covered)
+    # corner positions in screen space
+    t = np.asarray([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]]) * [W, H]
+    px = xs + 0.5
+    py = ys + 0.5
+    d = np.stack([px, py], -1)
+    m = np.linalg.inv(
+        np.asarray([[t[1][0] - t[0][0], t[2][0] - t[0][0]],
+                    [t[1][1] - t[0][1], t[2][1] - t[0][1]]])
+    )
+    bary = (d - t[0]) @ m.T  # (N, 2) = (u, v) since uv1=(1,0), uv2=(0,1)
+    np.testing.assert_allclose(u[covered], bary[:, 0], atol=1e-3)
+    np.testing.assert_allclose(v[covered], bary[:, 1], atol=1e-3)
+
+
+def test_gbuffer_normal_and_material():
+    setup = make_setup([unit_tri(0.5, 0.5, 0.3, 0.5)])
+    _, ids, gbuf, _ = full_raster(setup)
+    covered = ids >= 0
+    np.testing.assert_allclose(gbuf[raster._CH_N + 2][covered], 1.0, atol=1e-5)
+    np.testing.assert_allclose(gbuf[raster._CH_MAT][covered], 0.0, atol=1e-6)
+
+
+def test_backface_culling():
+    tri = unit_tri(0.5, 0.5, 0.3, 0.5)
+    tri_flipped = [tri[0], tri[2], tri[1]]
+    setup_front = make_setup([tri], cull="back")
+    setup_back = make_setup([tri_flipped], cull="back")
+    _, ids_f, _, _ = full_raster(setup_front)
+    _, ids_b, _, _ = full_raster(setup_back)
+    # exactly one of the two windings survives back-face culling
+    assert ((ids_f >= 0).sum() > 0) != ((ids_b >= 0).sum() > 0)
+
+
+def test_perspective_camera_projection_end_to_end():
+    c = cam.Camera()
+    c.intrinsic.aspect_ratio = W / H
+    c.extrinsic.position = np.zeros(3, np.float32)
+    vp = np.asarray(cam.view_projection(c))
+    # triangle 10m in front of camera (camera looks -z)
+    tri = [[-2.0, 1.0, -10.0], [2.0, 1.0, -10.0], [0.0, -2.0, -10.0]]
+    setup = make_setup([tri], vp=vp, prev_vp=vp)
+    depth, ids, gbuf, _ = full_raster(setup)
+    covered = ids >= 0
+    assert covered.sum() > 50
+    # depth is reverse-Z: 10m is much closer to near than far -> small-ish
+    d = depth[covered].mean()
+    assert 0.0 < d < 0.2
+    # prev ndc == cur ndc for a static camera: motion should be ~0
+    ys, xs = np.nonzero(covered)
+    ndc_x = (xs + 0.5) / W * 2 - 1
+    ndc_y = (ys + 0.5) / H * 2 - 1
+    np.testing.assert_allclose(gbuf[raster._CH_PREV][covered], ndc_x, atol=2e-3)
+    np.testing.assert_allclose(gbuf[raster._CH_PREV + 1][covered], ndc_y, atol=2e-3)
+
+
+def test_near_plane_cull():
+    c = cam.Camera()
+    c.intrinsic.aspect_ratio = W / H
+    c.extrinsic.position = np.zeros(3, np.float32)
+    vp = np.asarray(cam.view_projection(c))
+    # triangle behind the camera must produce nothing
+    tri = [[-1.0, 0.0, 10.0], [1.0, 0.0, 10.0], [0.0, -1.0, 10.0]]
+    setup = make_setup([tri], vp=vp)
+    assert not bool(np.asarray(setup.valid)[0])
