@@ -1,0 +1,104 @@
+"""User-facing render settings (the reference's ImGui-mutable structs).
+
+Parity: ShadingConfig (RenderFrontend.h:32-38), TAASettings (TAA.h:8-17),
+SDFTraceSettings/SDFDebugSettings (SDFGI.h:11-29), VolumetricsSettings +
+WindSettings (Volumetrics.h:5-18), BloomSettings (Bloom.h:5-9),
+AtmosphereSettings (Sky.h:6-15) and the GlobalShaderInfo scalar knobs
+(sun illuminance, exposure offset/adaption speed, ResourceDescriptions.h:
+174-201).
+
+All dataclasses are frozen/hashable: they are passed as static jit arguments,
+so changing one triggers a recompile — the TPU analog of the reference's
+specialization-constant -> pipeline-rebuild staleness path
+(RenderFrontend.cpp:233-264).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .ops.shade import ShadingConfig  # re-export (defined next to its use)
+from .ops.sky import AtmosphereSettings  # re-export
+
+
+@dataclasses.dataclass(frozen=True)
+class TAASettings:
+    """TAA.h:8-17."""
+
+    enabled: bool = True
+    use_separate_supersampling: bool = False
+    use_clipping: bool = True
+    use_motion_vector_dilation: bool = True
+    history_sampling_tech: int = 4  # 0 bilinear, 1..4 bicubic 16/9/5/1-tap
+    supersample_use_tonemapping: bool = True
+    filter_use_tonemapping: bool = True
+    use_mip_bias: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFTraceSettings:
+    """SDFGI.h:17-29."""
+
+    enabled: bool = True
+    half_resolution: bool = True
+    use_hi_z_culling: bool = True
+    strict_influence_radius_cutoff: bool = False
+    influence_radius: float = 3.0
+    trace_steps: int = 64  # reference uses up to 128 (SDF.inc)
+    max_instances_per_tile: int = 32  # reference cap 100 (sdfCulling.inc:4-5)
+
+
+@dataclasses.dataclass(frozen=True)
+class VolumetricsSettings:
+    """Volumetrics.h:5-18 (incl. wind)."""
+
+    enabled: bool = True
+    max_distance: float = 30.0
+    base_density: float = 0.005
+    noise_density: float = 0.01
+    ambient: float = 0.3
+    scattering_coefficient: float = 1.0
+    absorption_coefficient: float = 0.1
+    phase_g: float = 0.2
+    wind_speed: float = 0.5
+    wind_direction_deg: float = 45.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BloomSettings:
+    """Bloom.h:5-9."""
+
+    enabled: bool = True
+    strength: float = 0.02
+    blur_radius: float = 1.5
+    mip_count: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowSettings:
+    """Cascaded sun shadows (RenderFrontend shadow constants + lightMatrix)."""
+
+    cascade_count: int = 3  # ShadingConfig default (RenderFrontend.h:37)
+    resolution: int = 1024  # reference uses 2048 (RenderFrontend.cpp:49)
+    pcf_taps: int = 12  # triangle.frag:110
+    sample_radius: float = 0.03  # world-space, sunShadowCascades.inc:5
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Top-level bundle; hashable -> usable as a static jit argument."""
+
+    width: int = 1920
+    height: int = 1080
+    shading: ShadingConfig = ShadingConfig()
+    taa: TAASettings = TAASettings()
+    sdf_trace: SDFTraceSettings = SDFTraceSettings()
+    volumetrics: VolumetricsSettings = VolumetricsSettings()
+    bloom: BloomSettings = BloomSettings()
+    shadows: ShadowSettings = ShadowSettings()
+    atmosphere: AtmosphereSettings = AtmosphereSettings()
+    # GlobalShaderInfo scalar knobs (ResourceDescriptions.h:174-201)
+    sun_illuminance: float = 128000.0  # GlobalShaderInfo default (ResourceDescriptions.h:192)
+    exposure_offset: float = 1.0  # ResourceDescriptions.h:193
+    exposure_adaption_speed: float = 2.0  # ResourceDescriptions.h:194
+    sun_direction_angles: tuple = (0.0, 45.0)  # (phi, theta) deg; ref default (0,0)=zenith (RenderFrontend.h:141)

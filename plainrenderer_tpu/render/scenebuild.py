@@ -1,0 +1,141 @@
+"""Scene registration: Scene/SceneBinary -> device-resident render arrays.
+
+The analog of RenderFrontend::registerMeshes + RenderBackend::createMeshes
+(RenderFrontend.cpp:456-531): instances are flattened into UNINDEXED
+per-corner arrays (positions/attributes duplicated per triangle corner) so
+the per-frame geometry stage runs with zero gathers — the TPU-native trade
+of memory for dense access. Materials become a small constant table; object
+AABBs drive per-frame frustum culling masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..assets import plain_format
+from ..assets.plain_format import MeshData, Scene, SceneBinary
+
+
+@dataclasses.dataclass
+class RenderScene:
+    """Device-ready scene arrays (numpy; moved to device by the caller)."""
+
+    corners: np.ndarray  # (T, 3, 3) world-space corner positions
+    corner_uvs: np.ndarray  # (T, 3, 2)
+    corner_normals: np.ndarray  # (T, 3, 3) world-space
+    corner_tangents: np.ndarray  # (T, 3, 3)
+    corner_bitangents: np.ndarray  # (T, 3, 3)
+    tri_material: np.ndarray  # (T,) f32 material id
+    tri_object: np.ndarray  # (T,) int32 object id
+    material_table: np.ndarray  # (M, 8): albedo rgb, roughness, metal, pad
+    object_bb_min: np.ndarray  # (O, 3) world AABBs for culling
+    object_bb_max: np.ndarray  # (O, 3)
+    mean_albedo: np.ndarray  # (M, 3) per-material mean albedo (GI bounce)
+    sdf_paths: list  # per-object SDF volume path ('' if none)
+    triangle_count: int
+    object_count: int
+
+
+def _mesh_arrays(mesh) -> dict:
+    if isinstance(mesh, MeshData):
+        return {
+            "indices": np.asarray(mesh.indices, np.int64).reshape(-1, 3),
+            "positions": np.asarray(mesh.positions, np.float32),
+            "uvs": np.asarray(mesh.uvs, np.float32),
+            "normals": np.asarray(mesh.normals, np.float32),
+            "tangents": np.asarray(mesh.tangents, np.float32),
+            "bitangents": np.asarray(mesh.bitangents, np.float32),
+        }
+    arrays = plain_format.mesh_binary_to_arrays(mesh)
+    arrays["indices"] = arrays["indices"].astype(np.int64)
+    return arrays
+
+
+def build_render_scene(scene: Scene | SceneBinary,
+                       default_roughness: float = 0.6,
+                       default_metal: float = 0.0,
+                       pad_triangles_to: int = 64) -> RenderScene:
+    """Flatten a scene's objects into unindexed world-space corner arrays.
+
+    One material per mesh (the reference binds one texture set per mesh,
+    RenderFrontend.cpp:508-517); material constants default to the mesh mean
+    albedo until textured materials land in the sampling kernel.
+    """
+    corners, uvs, normals, tangents, bitangents = [], [], [], [], []
+    tri_material, tri_object = [], []
+    bb_mins, bb_maxs = [], []
+    sdf_paths = []
+    materials = []
+    mean_albedos = []
+
+    mesh_cache = {}
+    for obj_index, obj in enumerate(scene.objects):
+        mesh = scene.meshes[obj.mesh_index]
+        if obj.mesh_index not in mesh_cache:
+            mesh_cache[obj.mesh_index] = _mesh_arrays(mesh)
+        arrays = mesh_cache[obj.mesh_index]
+        m = np.asarray(obj.model_matrix, np.float32)
+        rot = m[:3, :3]
+        # normal matrix = inverse-transpose (handles non-uniform scale)
+        nrm_mat = np.linalg.inv(rot).T
+
+        pos_world = arrays["positions"] @ rot.T + m[:3, 3]
+        nrm_world = arrays["normals"] @ nrm_mat.T
+        tan_world = arrays["tangents"] @ rot.T
+        bit_world = arrays["bitangents"] @ rot.T
+
+        def _unit(v):
+            return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True),
+                                  1e-20)
+
+        idx = arrays["indices"]
+        corners.append(pos_world[idx])
+        uvs.append(arrays["uvs"][idx])
+        normals.append(_unit(nrm_world)[idx])
+        tangents.append(_unit(tan_world)[idx])
+        bitangents.append(_unit(bit_world)[idx])
+
+        material_id = len(materials)
+        mean_albedo = np.asarray(getattr(mesh, "mean_albedo", [0.5] * 3),
+                                 np.float32)
+        materials.append(np.concatenate([
+            mean_albedo, [default_roughness, default_metal, 0.0, 0.0, 0.0]
+        ]).astype(np.float32))
+        mean_albedos.append(mean_albedo)
+
+        t_count = idx.shape[0]
+        tri_material.append(np.full(t_count, material_id, np.float32))
+        tri_object.append(np.full(t_count, obj_index, np.int32))
+        bb_mins.append(pos_world.min(axis=0))
+        bb_maxs.append(pos_world.max(axis=0))
+        paths = getattr(mesh, "texture_paths", None)
+        sdf_paths.append(paths.sdf if paths is not None else "")
+
+    corners = np.concatenate(corners)
+    t_count = corners.shape[0]
+    pad = (-t_count) % pad_triangles_to
+
+    def _pad(arr, value=0):
+        if pad == 0:
+            return arr
+        shape = (pad,) + arr.shape[1:]
+        return np.concatenate([arr, np.full(shape, value, arr.dtype)])
+
+    return RenderScene(
+        corners=_pad(corners),
+        corner_uvs=_pad(np.concatenate(uvs)),
+        corner_normals=_pad(np.concatenate(normals)),
+        corner_tangents=_pad(np.concatenate(tangents)),
+        corner_bitangents=_pad(np.concatenate(bitangents)),
+        tri_material=_pad(np.concatenate(tri_material)),
+        tri_object=_pad(np.concatenate(tri_object)),
+        material_table=np.stack(materials),
+        object_bb_min=np.stack(bb_mins),
+        object_bb_max=np.stack(bb_maxs),
+        mean_albedo=np.stack(mean_albedos),
+        sdf_paths=sdf_paths,
+        triangle_count=t_count,
+        object_count=len(scene.objects),
+    )

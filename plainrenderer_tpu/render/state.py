@@ -1,0 +1,52 @@
+"""Carried per-frame state (the HBM-resident temporal history).
+
+The reference's cross-frame state — TAA history ping-pong (TAA.cpp:33-37),
+GI history, volumetric history, previous frame targets, exposure in the
+light buffer (RenderFrontend.h FrameRenderTargets / lightBuffer) — becomes
+one donated pytree threaded through render_frame: state' = f(state, inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax.numpy as jnp
+
+
+class FrameState(NamedTuple):
+    """All cross-frame arrays. Donated into the jitted frame function."""
+
+    frame_index: jnp.ndarray  # () int32
+    exposure: jnp.ndarray  # () f32 (lightBuffer.previousFrameExposure)
+    prev_color: jnp.ndarray  # (3, H, W) previous frame HDR (histogram input)
+    prev_depth: jnp.ndarray  # (H, W) previous reverse-Z depth
+    taa_history: jnp.ndarray  # (3, H, W) TAA accumulation
+    taa_luminance: jnp.ndarray  # (H, W) scene luminance history
+    gi_history_y: jnp.ndarray  # (4, Hg, Wg) Y-SH GI temporal history
+    gi_history_cocg: jnp.ndarray  # (2, Hg, Wg)
+    volumetric_history: jnp.ndarray  # (4, D, Hv, Wv) froxel scattering history
+    prev_view_projection: jnp.ndarray  # (4, 4)
+    prev_jitter: jnp.ndarray  # (2,)
+
+
+def initial_state(width: int, height: int, gi_half_res: bool = False,
+                  froxel_depth: int = 64) -> FrameState:
+    """State buffers use the TILE-PADDED framebuffer size."""
+    from ..ops.raster import pad_resolution
+
+    w, h = pad_resolution(width, height)
+    gh, gw = (h // 2, w // 2) if gi_half_res else (h, w)
+    vh, vw = max(h // 8, 1), max(w // 8, 1)
+    return FrameState(
+        frame_index=jnp.zeros((), jnp.int32),
+        exposure=jnp.asarray(1e-4, jnp.float32),
+        prev_color=jnp.zeros((3, h, w), jnp.float32),
+        prev_depth=jnp.zeros((h, w), jnp.float32),
+        taa_history=jnp.zeros((3, h, w), jnp.float32),
+        taa_luminance=jnp.zeros((h, w), jnp.float32),
+        gi_history_y=jnp.zeros((4, gh, gw), jnp.float32),
+        gi_history_cocg=jnp.zeros((2, gh, gw), jnp.float32),
+        volumetric_history=jnp.zeros((4, froxel_depth, vh, vw), jnp.float32),
+        prev_view_projection=jnp.eye(4, dtype=jnp.float32),
+        prev_jitter=jnp.zeros((2,), jnp.float32),
+    )
