@@ -26,8 +26,8 @@ import numpy as np
 
 from ..config import RenderSettings
 from ..ops import exposure as exposure_ops
-from ..ops import post, raster, shade, sky
-from ..utils import mathutils, sampling
+from ..ops import hiz, post, raster, shade, shadow, sky
+from ..utils import mathutils, noise as noise_mod, sampling
 from .state import FrameState
 
 
@@ -151,6 +151,56 @@ def render_frame(
     rough_metal = jnp.stack(
         [jnp.ones_like(material[3]), material[3], material[4]], axis=0)
 
+    # --- sun shadow cascades (passes 6-8: hi-Z -> lightMatrix -> render) ---
+    import math
+
+    tan_fov_half = math.tan(math.radians(FOV_DEG) * 0.5)
+    aspect = width / height
+    if settings.shadows.cascade_count > 0:
+        d_min, d_max = hiz.depth_min_max(depth)
+        cascade_mats, splits, cascade_scales = shadow.compute_cascade_info(
+            d_min, d_max, cam["position"], cam["forward"], cam["up"],
+            cam["right"], tan_fov_half, aspect, NEAR_PLANE, FAR_PLANE,
+            sun_dir, settings.shadows.cascade_count,
+            jnp.asarray(settings.sdf_trace.influence_radius, jnp.float32),
+            jnp.asarray(settings.volumetrics.max_distance, jnp.float32),
+        )
+        sres = settings.shadows.resolution
+        s_nty, s_ntx = sres // raster.TILE_H, sres // raster.TILE_W
+        shadow_maps = []
+        for c in range(shadow.MAX_CASCADES):
+            if c < settings.shadows.cascade_count:
+                s_setup = raster.geometry_setup(
+                    scene["corners"], scene["corner_uvs"],
+                    scene["corner_normals"], scene["corner_tangents"],
+                    scene["corner_bitangents"], scene["tri_material"],
+                    jnp.ones(scene["corners"].shape[0], bool),
+                    cascade_mats[c], cascade_mats[c], sres, sres,
+                    cull="none", with_attrs=False,
+                )
+                s_pairs = raster.build_pairs(s_setup, s_nty, s_ntx)
+                s_edges, _ = raster.gather_pair_setups(s_setup, s_pairs, False)
+                shadow_maps.append(raster.rasterize_depth(
+                    s_edges, s_pairs, s_nty, s_ntx, interpret=interpret))
+            else:
+                shadow_maps.append(jnp.zeros((sres, sres), jnp.float32))
+        shadow_maps = jnp.stack(shadow_maps)
+
+        # pixel linear depth = dot(V, -forward) (triangle.frag:205-207)
+        to_cam = cam["position"].reshape(3, 1, 1) - world_pos
+        pixel_depth = -jnp.sum(to_cam * cam["forward"].reshape(3, 1, 1), axis=0)
+        pixel_depth = jnp.where(valid, pixel_depth, 0.0)
+        # per-frame blue noise tiled to screen (RenderFrontend.cpp:40-56)
+        noise_tile = luts["blue_noise"][state.frame_index % 4]
+        reps = (ph // noise_tile.shape[0] + 1, pw // noise_tile.shape[1] + 1)
+        noise_full = jnp.tile(noise_tile, reps)[:ph, :pw]
+        sun_shadow = shadow.shadow_resolve(
+            world_pos, pixel_depth, noise_full, shadow_maps, cascade_mats,
+            cascade_scales, splits, settings.shadows.cascade_count,
+            taps=settings.shadows.pcf_taps, interpret=interpret)
+    else:
+        sun_shadow = jnp.ones((ph, pw), jnp.float32)
+
     hdr = shade.shade_forward(
         config=settings.shading,
         world_pos=world_pos,
@@ -164,19 +214,16 @@ def render_frame(
         sun_direction=sun_dir,
         sun_color=sun_color,
         sun_strength_exposed=sun_strength_exposed,
-        sun_shadow=jnp.ones((ph, pw), jnp.float32),
+        sun_shadow=sun_shadow,
         camera_position=cam["position"],
         indirect_y_sh=None,
         indirect_cocg=None,
     )
 
     # --- sky composite (pass 14) ---
-    import math
-
-    tan_fov_half = math.tan(math.radians(35.0) * 0.5)
     view_dirs = sky.view_directions(
         pw, ph, cam["forward"], cam["up"], cam["right"], tan_fov_half,
-        width / height)
+        aspect)
     hdr = sky.apply_sky(
         hdr, valid, sky_lut, luts["transmission"], view_dirs, sun_dir,
         sun_strength_exposed)
@@ -212,8 +259,23 @@ def scene_to_device(rs) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=4)
+def _blue_noise_textures(count: int = 4, size: int = 32):
+    """RenderFrontend.cpp:40-56 — 4 void-and-cluster blue-noise tiles."""
+    tiles = [
+        noise_mod.generate_blue_noise((size, size), seed=i).astype(np.float32)
+        / 255.0
+        for i in range(count)
+    ]
+    return np.stack(tiles)
+
+
 def bake_static_luts(settings: RenderSettings):
-    """Atmosphere-dependent LUTs (rebaked only on settings change)."""
+    """Atmosphere-dependent LUTs + noise (rebaked only on settings change)."""
     transmission = sky.bake_transmission_lut(settings.atmosphere)
     multiscatter = sky.bake_multiscatter_lut(settings.atmosphere)
-    return {"transmission": transmission, "multiscatter": multiscatter}
+    return {
+        "transmission": transmission,
+        "multiscatter": multiscatter,
+        "blue_noise": jnp.asarray(_blue_noise_textures()),
+    }
