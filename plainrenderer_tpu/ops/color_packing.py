@@ -22,8 +22,9 @@ def _to_unsigned_float(x, mantissa_bits):
     x = jnp.clip(jnp.asarray(x, jnp.float32), 0.0, 64512.0)
     x = jnp.where(jnp.isfinite(x), x, 0.0)
     bits = x.view(jnp.int32)
-    # f32 exponent bias 127 -> 5-bit bias 15: subtract (127-15) << 23
-    shifted = bits - ((127 - 15) << 23)
+    # f32 exponent bias 127 -> 5-bit bias 15: subtract (127-15) << 23;
+    # add half a ULP first for round-to-nearest
+    shifted = bits - ((127 - 15) << 23) + (1 << (22 - mantissa_bits))
     shifted = jnp.maximum(shifted, 0)  # flush small values to zero
     out = (shifted >> (23 - mantissa_bits)) & ((1 << (5 + mantissa_bits)) - 1)
     return out

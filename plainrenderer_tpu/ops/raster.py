@@ -403,7 +403,8 @@ def _pixel_basis(tile_y, tile_x):
 
 
 def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
-                        acc_ref, edge_buf, sems, *, track_winner: bool):
+                        acc_ref, edge_buf, sems, *, track_winner: bool,
+                        depth_clamp: bool = False):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max."""
     ty = pl.program_id(0)
@@ -445,8 +446,15 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
         e1 = planes[1 * GROUP:2 * GROUP]
         e2 = planes[2 * GROUP:3 * GROUP]
         zz = planes[3 * GROUP:4 * GROUP]
-        cov = (jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0) & (zz > 0.0)
-        zc = jnp.clip(zz, 0.0, 1.0)
+        cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+        if depth_clamp:
+            # sun-shadow semantics: the reference renders cascades with
+            # depth clamping (lightMatrix.comp:62 comment), so casters
+            # outside the fitted z-range still write clamped depth
+            zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
+        else:
+            cov = cov & (zz > 0.0)
+            zc = jnp.clip(zz, 0.0, 1.0)
         zi = pltpu.bitcast(zc, jnp.int32)
         if track_winner:
             slot_iota = (
@@ -477,7 +485,8 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
 def _depth_kernel(start_ref, ngroups_ref, edges_ref, depth_ref,
                   acc_ref, edge_buf, sems):
     _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, None,
-                        acc_ref, edge_buf, sems, track_winner=False)
+                        acc_ref, edge_buf, sems, track_winner=False,
+                        depth_clamp=True)
 
 
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,

@@ -1,0 +1,307 @@
+"""Temporal anti-aliasing.
+
+Parity:
+  - temporalFilter.comp — 3x3 neighborhood with jitter-aware Blackman-Harris
+    resolve weights (TAA.cpp:181-202), motion dilation via closest-depth 3x3
+    (temporalReprojection.inc:70-87), AABB clip/clamp (:8-33),
+    contrast-change-adaptive blend 0.03-0.13 (:151-160), reversible luma
+    tonemap option (:37-44), camera-cut and offscreen fallbacks;
+  - bicubicSampling.inc — Catmull-Rom history sampling; the default
+    Bicubic1Tap (CoD Siggraph p.111) takes ONE bilinear history tap and
+    reconstructs the bicubic corners from the CURRENT frame's neighborhood;
+  - depthPrepass.frag:33-40 — motion vectors (computed here from the
+    G-buffer's previous-frame NDC plane).
+
+TPU split: everything local (neighborhood ops, clip, blend) is pure XLA on
+shifted planes; ONLY the motion-offset history fetch runs as a Pallas kernel
+where each screen tile DMAs a history window (TILE + margins) and taps it
+with lane-gathers on the R11G11B10-packed history (one gather per tap).
+Motion beyond the window margins falls back to blend=1 exactly like the
+reference's offscreen-reprojection path (temporalFilter.comp:166-170).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.color import luminance
+from . import gatherlib
+from .color_packing import pack_r11g11b10, unpack_r11g11b10
+from .raster import TILE_H, TILE_W
+
+# history window per tile: rows TILE_H + 2*8, cols TILE_W + 2*64
+MARGIN_Y = 8
+MARGIN_X = 64
+WIN_H = TILE_H + 2 * MARGIN_Y  # 32
+WIN_W = TILE_W + 2 * MARGIN_X  # 256
+
+
+def compute_motion(prev_ndc, valid, cur_jitter, prev_jitter, width, height):
+    """depthPrepass.frag:33-40 — motion in UV units; uv_last = uv + motion.
+
+    prev_ndc (2, H, W) interpolated previous-frame NDC from the G-buffer;
+    jitters in NDC units (g_currentFrameCameraJitter convention).
+    """
+    _, h, w = prev_ndc.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    cur_x = jnp.broadcast_to(xs[None, :], (h, w))
+    cur_y = jnp.broadcast_to(ys[:, None], (h, w))
+    mx = (prev_ndc[0] + prev_jitter[0] - (cur_x + cur_jitter[0])) * 0.5
+    my = (prev_ndc[1] + prev_jitter[1] - (cur_y + cur_jitter[1])) * 0.5
+    motion = jnp.stack([mx, my], axis=0)
+    return jnp.where(valid[None], motion, 0.0)
+
+
+def resolve_weights(jitter_px):
+    """TAA.cpp:181-202 — 3x3 gaussian fit of Blackman-Harris around jitter."""
+    xs = jnp.asarray([-1.0, 0.0, 1.0])
+    dx = jitter_px[0] - xs[None, :]
+    dy = jitter_px[1] - xs[:, None]
+    d2 = dx * dx + dy * dy
+    w = jnp.exp(-2.29 * d2)
+    return w / jnp.sum(w)
+
+
+def _shift(plane, dy, dx):
+    """Clamped 2D shift (XLA): plane can be (H, W) or (C, H, W)."""
+    shifted = jnp.roll(plane, (dy, dx), axis=(-2, -1))
+    h, w = plane.shape[-2:]
+    ys = jnp.clip(jnp.arange(h) - dy, 0, h - 1) * 0 + jnp.arange(h)
+    # emulate clamp-to-edge by overwriting the wrapped border
+    if dy > 0:
+        shifted = shifted.at[..., :dy, :].set(shifted[..., dy:dy + 1, :])
+    elif dy < 0:
+        shifted = shifted.at[..., dy:, :].set(shifted[..., dy - 1:dy, :])
+    if dx > 0:
+        shifted = shifted.at[..., :, :dx].set(shifted[..., :, dx:dx + 1])
+    elif dx < 0:
+        shifted = shifted.at[..., :, dx:].set(shifted[..., :, dx - 1:dx])
+    return shifted
+
+
+def _neighborhood(color):
+    """(3, H, W) -> list of 9 shifted (3, H, W) planes, [dy+1][dx+1] order."""
+    return [[_shift(color, -dy, -dx) for dx in (-1, 0, 1)] for dy in (-1, 0, 1)]
+
+
+def _reversible_tonemap(c):
+    """temporalReprojection.inc:37-40."""
+    return c / (1.0 + luminance(c, axis=0)[None])
+
+
+def _reversible_tonemap_inverse(c):
+    """temporalReprojection.inc:42-44."""
+    return c / jnp.maximum(1.0 - luminance(c, axis=0)[None], 1e-4)
+
+
+def dilate_motion(motion, depth):
+    """temporalReprojection.inc:70-87 — motion of the closest (max reverse-Z)
+    depth in the 3x3 neighborhood."""
+    best_depth = depth
+    best = motion
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            d = _shift(depth, -dy, -dx)
+            m = _shift(motion, -dy, -dx)
+            take = d > best_depth
+            best = jnp.where(take[None], m, best)
+            best_depth = jnp.maximum(best_depth, d)
+    return best
+
+
+def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem):
+    """Per tile: DMA a packed-history window, one bilinear tap per pixel.
+
+    coords_ref (2, TILE_H, TILE_W): absolute source pixel coords (fractional).
+    out (4, TILE_H, TILE_W): rgb + in-window flag.
+    """
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    h = history_ref.shape[0]
+    w = history_ref.shape[1]
+    by = jnp.clip(ty * TILE_H - MARGIN_Y, 0, h - WIN_H)
+    bx = jnp.clip(tx * TILE_W - MARGIN_X, 0, w - WIN_W)
+    dma = pltpu.make_async_copy(
+        history_ref.at[pl.ds(by, WIN_H), pl.ds(bx, WIN_W)], window, sem)
+    dma.start()
+    dma.wait()
+
+    sx = coords_ref[0] - bx.astype(jnp.float32)
+    sy = coords_ref[1] - by.astype(jnp.float32)
+    in_window = (
+        (sx >= 0.5) & (sx <= WIN_W - 1.5) & (sy >= 0.5) & (sy <= WIN_H - 1.5))
+    x0 = jnp.clip(jnp.floor(sx - 0.5), 0, WIN_W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy - 0.5), 0, WIN_H - 2).astype(jnp.int32)
+    fx = jnp.clip(sx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(sy - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
+
+    # window is (WIN_H, WIN_W) int32 == (WIN_H * WIN_W / 128, 128) flat rows
+    flat = window[...].reshape(WIN_H * WIN_W // 128, 128)
+
+    def tap(xi, yi):
+        packed = gatherlib.gather_rows_128(flat, yi * WIN_W + xi)
+        return unpack_r11g11b10(packed)
+
+    c00 = tap(x0, y0)
+    c01 = tap(x0 + 1, y0)
+    c10 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    rgb = (
+        c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy + c11 * fx * fy)
+    out_ref[0:3] = rgb
+    out_ref[3] = in_window.astype(jnp.float32)
+
+
+def history_resample(history_packed, motion, width, height,
+                     interpret: bool = False):
+    """Bilinear history fetch at uv+motion. Returns (rgb (3,H,W), ok (H,W)).
+
+    history_packed (H, W) int32 R11G11B10.
+    """
+    h, w = history_packed.shape
+    nty, ntx = h // TILE_H, w // TILE_W
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    # motion in UV units of the LOGICAL resolution
+    coords = jnp.stack([
+        jnp.broadcast_to(xs[None, :], (h, w)) + motion[0] * width,
+        jnp.broadcast_to(ys[:, None], (h, w)) + motion[1] * height,
+    ])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _history_tap_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((4, h, w), jnp.float32)],
+        interpret=interpret,
+    )(history_packed, coords)
+    return out[0:3], out[3] > 0.5
+
+
+def temporal_filter(
+    color, history_packed, motion, depth, jitter_px,
+    camera_cut, width, height, *,
+    use_clipping: bool = True,
+    use_motion_dilation: bool = True,
+    use_tonemapping: bool = True,
+    interpret: bool = False,
+):
+    """temporalFilter.comp main() — returns (output (3,H,W), new history
+    packed (H,W) int32). history_sampling: Bicubic1Tap via the windowed
+    bilinear tap + current-frame neighborhood correction."""
+    if use_motion_dilation:
+        motion = dilate_motion(motion, depth)
+
+    nb = _neighborhood(
+        _reversible_tonemap(color) if use_tonemapping else color)
+    center = nb[1][1]
+
+    weights = resolve_weights(jitter_px)
+    resolved = jnp.zeros_like(center)
+    for y in range(3):
+        for x in range(3):
+            # resolveColor indexes weights[x][y] (temporalFilter.comp:41-57)
+            resolved = resolved + nb[y][x] * weights[x, y]
+
+    nb_min = center
+    nb_max = center
+    for y in range(3):
+        for x in range(3):
+            nb_min = jnp.minimum(nb_min, nb[y][x])
+            nb_max = jnp.maximum(nb_max, nb[y][x])
+
+    hist_rgb, in_window = history_resample(
+        history_packed, motion, width, height, interpret=interpret)
+    if use_tonemapping:
+        hist_rgb = _reversible_tonemap(hist_rgb)
+
+    # Bicubic1Tap corner reconstruction (bicubicSampling.inc:151-183):
+    # approximate the 4 cross taps by history + current-frame differences
+    fx = jnp.mod(motion[0] * width, 1.0)
+    fy = jnp.mod(motion[1] * height, 1.0)
+
+    def cr_weights(f):
+        f2 = f * f
+        f3 = f2 * f
+        w0 = -0.5 * f3 + f2 - 0.5 * f
+        w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+        w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+        w3 = 0.5 * f3 - 0.5 * f2
+        return w0, w1 + w2, w3
+
+    w0x, wbx, w3x = cr_weights(fx)
+    w0y, wby, w3y = cr_weights(fy)
+    total = (w0x * wby + wbx * w0y + wbx * wby + wbx * w3y + w3x * wby)
+    hist = (
+        (hist_rgb + nb[1][0] - center) * (w0x * wby)[None]
+        + (hist_rgb + nb[0][1] - center) * (wbx * w0y)[None]
+        + hist_rgb * (wbx * wby)[None]
+        + (hist_rgb + nb[2][1] - center) * (wbx * w3y)[None]
+        + (hist_rgb + nb[1][2] - center) * (w3x * wby)[None]
+    ) / jnp.maximum(total, 1e-6)[None]
+
+    if use_clipping:
+        # clipAABB (temporalReprojection.inc:8-30)
+        c = 0.5 * (nb_max + nb_min)
+        e = 0.5 * (nb_max - nb_min) + 1e-4
+        to_t = hist - c
+        norm = jnp.abs(to_t / e)
+        max_comp = jnp.max(norm, axis=0, keepdims=True)
+        hist = jnp.where(max_comp < 1.0, hist, c + to_t / max_comp)
+    else:
+        hist = jnp.clip(hist, nb_min, nb_max)
+    hist = jnp.where(jnp.isnan(hist), resolved, hist)
+
+    def contrast(n):
+        lc = luminance(n[1][1], axis=0)
+        total = jnp.zeros_like(lc)
+        for y in range(3):
+            for x in range(3):
+                if x == 1 and y == 1:
+                    continue
+                total = total + jnp.abs(luminance(n[y][x], axis=0) - lc)
+        return total
+
+    cur_contrast = contrast(nb)
+    hist_nb = _neighborhood(hist_rgb)
+    last_contrast = contrast(hist_nb)
+    contrast_change = jnp.clip(jnp.abs(cur_contrast - last_contrast), 0.0, 1.0)
+    blend = 0.13 + (0.03 - 0.13) * contrast_change
+
+    gaussian = (
+        (nb[0][0] + nb[0][2] + nb[2][0] + nb[2][2]) * 0.0625
+        + (nb[1][0] + nb[0][1] + nb[1][2] + nb[2][1]) * 0.125
+        + nb[1][1] * 0.25)
+    blend = jnp.where(in_window, blend, 1.0)
+    resolved = jnp.where(in_window[None], resolved, gaussian)
+    blend = jnp.where(camera_cut, 1.0, blend)
+
+    out = hist + (resolved - hist) * blend[None]
+    if use_tonemapping:
+        out = _reversible_tonemap_inverse(out)
+    out = jnp.maximum(out, 0.0)
+    return out, pack_r11g11b10(out)

@@ -26,7 +26,8 @@ import numpy as np
 
 from ..config import RenderSettings
 from ..ops import exposure as exposure_ops
-from ..ops import hiz, post, raster, shade, shadow, sky
+from ..ops import bloom as bloom_ops
+from ..ops import hiz, post, raster, shade, shadow, sky, taa as taa_ops
 from ..utils import mathutils, noise as noise_mod, sampling
 from .state import FrameState
 
@@ -227,6 +228,30 @@ def render_frame(
     hdr = sky.apply_sky(
         hdr, valid, sky_lut, luts["transmission"], view_dirs, sun_dir,
         sun_strength_exposed)
+    scene_color = hdr  # pre-TAA color feeds next frame's histogram
+
+    # --- TAA (pass 15) ---
+    if settings.taa.enabled:
+        motion = taa_ops.compute_motion(
+            gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
+            state.prev_jitter, width, height)
+        camera_cut = state.frame_index == 0
+        hdr, taa_history = taa_ops.temporal_filter(
+            hdr, state.taa_history, motion, depth, jitter_px, camera_cut,
+            width, height,
+            use_clipping=settings.taa.use_clipping,
+            use_motion_dilation=settings.taa.use_motion_vector_dilation,
+            use_tonemapping=settings.taa.filter_use_tonemapping,
+            interpret=interpret,
+        )
+    else:
+        taa_history = state.taa_history
+
+    # --- bloom (pass 16) ---
+    if settings.bloom.enabled:
+        hdr = bloom_ops.compute_bloom(
+            hdr, settings.bloom.strength, settings.bloom.blur_radius,
+            settings.bloom.mip_count)
 
     # --- tonemap (pass 17) ---
     time = state.frame_index.astype(jnp.float32) * 0.016
@@ -235,8 +260,9 @@ def render_frame(
     new_state = state._replace(
         frame_index=state.frame_index + 1,
         exposure=new_exposure,
-        prev_color=hdr,
+        prev_color=scene_color,
         prev_depth=depth,
+        taa_history=taa_history,
         prev_view_projection=view_proj,
         prev_jitter=jitter_ndc,
     )

@@ -20,7 +20,7 @@ class FrameState(NamedTuple):
     exposure: jnp.ndarray  # () f32 (lightBuffer.previousFrameExposure)
     prev_color: jnp.ndarray  # (3, H, W) previous frame HDR (histogram input)
     prev_depth: jnp.ndarray  # (H, W) previous reverse-Z depth
-    taa_history: jnp.ndarray  # (3, H, W) TAA accumulation
+    taa_history: jnp.ndarray  # (H, W) int32 R11G11B10-packed TAA history
     taa_luminance: jnp.ndarray  # (H, W) scene luminance history
     gi_history_y: jnp.ndarray  # (4, Hg, Wg) Y-SH GI temporal history
     gi_history_cocg: jnp.ndarray  # (2, Hg, Wg)
@@ -42,7 +42,7 @@ def initial_state(width: int, height: int, gi_half_res: bool = False,
         exposure=jnp.asarray(1e-4, jnp.float32),
         prev_color=jnp.zeros((3, h, w), jnp.float32),
         prev_depth=jnp.zeros((h, w), jnp.float32),
-        taa_history=jnp.zeros((3, h, w), jnp.float32),
+        taa_history=jnp.zeros((h, w), jnp.int32),
         taa_luminance=jnp.zeros((h, w), jnp.float32),
         gi_history_y=jnp.zeros((4, gh, gw), jnp.float32),
         gi_history_cocg=jnp.zeros((2, gh, gw), jnp.float32),
