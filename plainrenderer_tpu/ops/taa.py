@@ -117,7 +117,8 @@ def dilate_motion(motion, depth):
     return best
 
 
-def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem):
+def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem, *,
+                        win_h: int, win_w: int):
     """Per tile: DMA a packed-history window, one bilinear tap per pixel.
 
     coords_ref (2, TILE_H, TILE_W): absolute source pixel coords (fractional).
@@ -127,27 +128,27 @@ def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem):
     tx = pl.program_id(1)
     h = history_ref.shape[0]
     w = history_ref.shape[1]
-    by = jnp.clip(ty * TILE_H - MARGIN_Y, 0, h - WIN_H)
-    bx = jnp.clip(tx * TILE_W - MARGIN_X, 0, w - WIN_W)
+    by = jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h)
+    bx = jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w)
     dma = pltpu.make_async_copy(
-        history_ref.at[pl.ds(by, WIN_H), pl.ds(bx, WIN_W)], window, sem)
+        history_ref.at[pl.ds(by, win_h), pl.ds(bx, win_w)], window, sem)
     dma.start()
     dma.wait()
 
     sx = coords_ref[0] - bx.astype(jnp.float32)
     sy = coords_ref[1] - by.astype(jnp.float32)
     in_window = (
-        (sx >= 0.5) & (sx <= WIN_W - 1.5) & (sy >= 0.5) & (sy <= WIN_H - 1.5))
-    x0 = jnp.clip(jnp.floor(sx - 0.5), 0, WIN_W - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sy - 0.5), 0, WIN_H - 2).astype(jnp.int32)
+        (sx >= 0.5) & (sx <= win_w - 1.5) & (sy >= 0.5) & (sy <= win_h - 1.5))
+    x0 = jnp.clip(jnp.floor(sx - 0.5), 0, win_w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy - 0.5), 0, win_h - 2).astype(jnp.int32)
     fx = jnp.clip(sx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
     fy = jnp.clip(sy - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
-    # window is (WIN_H, WIN_W) int32 == (WIN_H * WIN_W / 128, 128) flat rows
-    flat = window[...].reshape(WIN_H * WIN_W // 128, 128)
+    # window is (win_h, win_w) int32 == (win_h * win_w / 128, 128) flat rows
+    flat = window[...].reshape(win_h * win_w // 128, 128)
 
     def tap(xi, yi):
-        packed = gatherlib.gather_rows_128(flat, yi * WIN_W + xi)
+        packed = gatherlib.gather_rows_128(flat, yi * win_w + xi)
         return unpack_r11g11b10(packed)
 
     c00 = tap(x0, y0)
@@ -168,6 +169,8 @@ def history_resample(history_packed, motion, width, height,
     history_packed (H, W) int32 R11G11B10.
     """
     h, w = history_packed.shape
+    win_h = min(WIN_H, h)
+    win_w = min(WIN_W, w)
     nty, ntx = h // TILE_H, w // TILE_W
     xs = jnp.arange(w, dtype=jnp.float32) + 0.5
     ys = jnp.arange(h, dtype=jnp.float32) + 0.5
@@ -176,6 +179,7 @@ def history_resample(history_packed, motion, width, height,
         jnp.broadcast_to(xs[None, :], (h, w)) + motion[0] * width,
         jnp.broadcast_to(ys[:, None], (h, w)) + motion[1] * height,
     ])
+    kernel = functools.partial(_history_tap_kernel, win_h=win_h, win_w=win_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
@@ -189,12 +193,12 @@ def history_resample(history_packed, motion, width, height,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W), jnp.int32),
+            pltpu.VMEM((win_h, win_w), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     (out,) = pl.pallas_call(
-        _history_tap_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((4, h, w), jnp.float32)],
         interpret=interpret,
