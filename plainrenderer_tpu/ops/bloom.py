@@ -20,6 +20,9 @@ def _bilinear_at_half_offsets(img, dy, dx):
     clamped; offsets are multiples of 0.5 so this is exact averaging."""
 
     def shift(a, sy, sx):
+        # clamp shifts to the mip size (tiny mips at small resolutions)
+        sy = max(-(a.shape[-2] - 1), min(a.shape[-2] - 1, sy))
+        sx = max(-(a.shape[-1] - 1), min(a.shape[-1] - 1, sx))
         out = jnp.roll(a, (-sy, -sx), axis=(-2, -1))
         if sy > 0:
             out = out.at[..., -sy:, :].set(out[..., -sy - 1:-sy, :])
@@ -32,9 +35,14 @@ def _bilinear_at_half_offsets(img, dy, dx):
         return out
 
     # offsets arrive as python floats; decompose into integer + fraction
+    # (pure-python math: jnp on constants would create tracers under
+    # shard_map and break the static shift offsets)
+    import math
+
     def axis_samples(d):
-        lo = int(jnp.floor(d))
-        frac = float(d) - lo
+        d = float(d)
+        lo = math.floor(d)
+        frac = d - lo
         if frac == 0.0:
             return [(lo, 1.0)]
         return [(lo, 1.0 - frac), (lo + 1, frac)]

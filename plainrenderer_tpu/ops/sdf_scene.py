@@ -104,13 +104,16 @@ def composite_global_sdf(
         pad_min = np.asarray(pad_min)
         pad_max = np.asarray(pad_max)
 
-        # restrict to the instance's world region (cheap bounding crop)
+        # restrict to the instance's world region plus a safety margin: the
+        # margin ring receives the conservative distance-to-box bound so
+        # sphere tracing near (but outside) the instance cannot overstep
         corners = np.stack(np.meshgrid(
             *[(pad_min[i], pad_max[i]) for i in range(3)], indexing="ij"),
             -1).reshape(-1, 3)
         wc = corners @ m[:3, :3].T + m[:3, 3]
-        lo = np.floor((wc.min(0) - scene_min) / voxel_size).astype(int)
-        hi = np.ceil((wc.max(0) - scene_min) / voxel_size).astype(int) + 1
+        safety = 2.0  # meters of conservative-bound ring
+        lo = np.floor((wc.min(0) - safety - scene_min) / voxel_size).astype(int)
+        hi = np.ceil((wc.max(0) + safety - scene_min) / voxel_size).astype(int) + 1
         lo = np.maximum(lo, 0)
         hi = np.minimum(hi, [w, h, d])
         if (hi <= lo).any():

@@ -206,6 +206,113 @@ def history_resample(history_packed, motion, width, height,
     return out[0:3], out[3] > 0.5
 
 
+def pack_f16_pair(a, b):
+    """Two f32 planes -> one int32 plane (f16 bits lo/hi)."""
+    fa = a.astype(jnp.float16).view(jnp.int16).astype(jnp.int32) & 0xFFFF
+    fb = b.astype(jnp.float16).view(jnp.int16).astype(jnp.int32) & 0xFFFF
+    return fa | (fb << 16)
+
+
+def unpack_f16_pair(packed):
+    """int32 -> (a, b) f32 planes."""
+    lo = (packed & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
+    hi = ((packed >> 16) & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
+    return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+
+def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
+                              win_h: int, win_w: int, n_planes: int):
+    """Like _history_tap_kernel but for N f16-pair-packed planes (used by the
+    GI temporal filter, which carries 6 channels in 3 int32 planes)."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    h = planes_ref.shape[1]
+    w = planes_ref.shape[2]
+    by = jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h)
+    bx = jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w)
+    dma = pltpu.make_async_copy(
+        planes_ref.at[:, pl.ds(by, win_h), pl.ds(bx, win_w)], window, sem)
+    dma.start()
+    dma.wait()
+
+    sx = coords_ref[0] - bx.astype(jnp.float32)
+    sy = coords_ref[1] - by.astype(jnp.float32)
+    in_window = (
+        (sx >= 0.5) & (sx <= win_w - 1.5) & (sy >= 0.5) & (sy <= win_h - 1.5))
+    x0 = jnp.clip(jnp.floor(sx - 0.5), 0, win_w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy - 0.5), 0, win_h - 2).astype(jnp.int32)
+    fx = jnp.clip(sx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(sy - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
+
+    for p in range(n_planes):
+        flat = window[p].reshape(win_h * win_w // 128, 128)
+
+        def tap(xi, yi):
+            packed = gatherlib.gather_rows_128(flat, yi * win_w + xi)
+            lo = (packed & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
+            hi = ((packed >> 16) & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
+            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+
+        a00, b00 = tap(x0, y0)
+        a01, b01 = tap(x0 + 1, y0)
+        a10, b10 = tap(x0, y0 + 1)
+        a11, b11 = tap(x0 + 1, y0 + 1)
+        w00 = (1 - fx) * (1 - fy)
+        w01 = fx * (1 - fy)
+        w10 = (1 - fx) * fy
+        w11 = fx * fy
+        out_ref[2 * p] = a00 * w00 + a01 * w01 + a10 * w10 + a11 * w11
+        out_ref[2 * p + 1] = b00 * w00 + b01 * w01 + b10 * w10 + b11 * w11
+    out_ref[2 * n_planes] = in_window.astype(jnp.float32)
+
+
+def resample_packed_planes(planes_packed, motion, width, height,
+                           interpret: bool = False):
+    """Motion-offset bilinear resample of (P, H, W) int32 f16-pair planes.
+
+    Returns (channels (2P, H, W) f32, ok (H, W) bool). Used for the GI
+    history (filterIndirectDiffuseTemporal.comp's reprojected fetches).
+    """
+    n_planes, h, w = planes_packed.shape
+    win_h = min(WIN_H, h)
+    win_w = min(WIN_W, w)
+    nty, ntx = h // TILE_H, w // TILE_W
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    coords = jnp.stack([
+        jnp.broadcast_to(xs[None, :], (h, w)) + motion[0] * width,
+        jnp.broadcast_to(ys[:, None], (h, w)) + motion[1] * height,
+    ])
+    kernel = functools.partial(
+        _packed_planes_tap_kernel, win_h=win_h, win_w=win_w,
+        n_planes=n_planes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * n_planes + 1, TILE_H, TILE_W),
+                         lambda ty, tx: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, win_h, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * n_planes + 1, h, w), jnp.float32)],
+        interpret=interpret,
+    )(planes_packed, coords)
+    return out[:2 * n_planes], out[2 * n_planes] > 0.5
+
+
 def temporal_filter(
     color, history_packed, motion, depth, jitter_px,
     camera_cut, width, height, *,

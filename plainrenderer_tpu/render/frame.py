@@ -27,7 +27,9 @@ import numpy as np
 from ..config import RenderSettings
 from ..ops import exposure as exposure_ops
 from ..ops import bloom as bloom_ops
-from ..ops import hiz, post, raster, shade, shadow, sky, taa as taa_ops
+from ..ops import hiz, post, raster, sdfgi, shade, shadow, sky
+from ..ops import taa as taa_ops
+from ..ops import volumetrics as vol_ops
 from ..utils import mathutils, noise as noise_mod, sampling
 from .state import FrameState
 
@@ -55,11 +57,11 @@ FAR_PLANE = 300.0
 
 
 def _projection(settings: RenderSettings, fov=FOV_DEG, near=NEAR_PLANE,
-                far=FAR_PLANE):
+                far=FAR_PLANE, full_height: int | None = None):
     """Camera.cpp:14-27 — GL perspective + Vulkan reverse-Z correction."""
     import math
 
-    aspect = settings.width / settings.height
+    aspect = settings.width / (full_height or settings.height)
     tan_half = math.tan(math.radians(fov) * 0.5)
     p = np.zeros((4, 4), np.float32)
     p[0, 0] = 1.0 / (aspect * tan_half)
@@ -78,7 +80,7 @@ _JITTER_TABLE = sampling.taa_jitter_sequence(8) * 2.0  # TAA.cpp:168-170
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "interpret"),
+    static_argnames=("settings", "interpret", "axis_name", "full_height"),
     donate_argnames=("state",),
 )
 def render_frame(
@@ -89,8 +91,16 @@ def render_frame(
     delta_time,
     settings: RenderSettings,
     interpret: bool = False,
+    axis_name: str | None = None,
+    full_height: int | None = None,
 ):
-    """One frame: (image_u8 (H, W, 3), FrameState')."""
+    """One frame: (image_u8 (H, W, 3), FrameState').
+
+    Under shard_map (parallel/sharding.py) each device renders a horizontal
+    screen band: `cam` carries 'ndc_y_scale'/'ndc_y_offset' describing the
+    band's asymmetric sub-frustum, and `axis_name` enables the cross-band
+    collectives (exposure histogram psum).
+    """
     width, height = settings.width, settings.height
     pw, ph = raster.pad_resolution(width, height)
     nty, ntx = ph // raster.TILE_H, pw // raster.TILE_W
@@ -102,6 +112,10 @@ def render_frame(
 
     # --- exposure from the previous frame's color (SURVEY 3.2 passes 1+3) ---
     histogram = exposure_ops.compute_histogram(state.prev_color, state.exposure)
+    if axis_name is not None:
+        # bands contribute to one global histogram (histogramCombineTiles
+        # analog across devices)
+        histogram = jax.lax.psum(histogram, axis_name)
     new_exposure, sun_strength_exposed = exposure_ops.pre_expose_lights(
         histogram, state.exposure,
         jnp.asarray(settings.sun_illuminance, jnp.float32),
@@ -119,7 +133,14 @@ def render_frame(
 
     # --- camera matrices + TAA jitter (RenderFrontend.cpp:423-454) ---
     view = _view_matrix(cam)
-    proj = _projection(settings)
+    proj = _projection(settings, full_height=full_height or settings.height)
+    if "ndc_y_scale" in cam:
+        # asymmetric sub-frustum for split-frame band rendering:
+        # y' = scale * y + offset * w
+        band = jnp.eye(4, dtype=jnp.float32)
+        band = band.at[1, 1].set(cam["ndc_y_scale"])
+        band = band.at[1, 3].set(cam["ndc_y_offset"])
+        proj = band @ proj
     if settings.taa.enabled:
         jitter_px = jnp.asarray(_JITTER_TABLE, jnp.float32)[
             state.frame_index % 8]
@@ -202,6 +223,97 @@ def render_frame(
     else:
         sun_shadow = jnp.ones((ph, pw), jnp.float32)
 
+    # --- SDF GI (pass 10): trace -> resolve -> spatial -> temporal ->
+    # spatial -> upscale ---
+    indirect_y_sh = None
+    indirect_cocg = None
+    new_gi_history = state.gi_history
+    use_gi = (settings.sdf_trace.enabled
+              and settings.shading.indirect_lighting_tech == 0
+              and "sdf_volume" in scene)
+    if use_gi:
+        half = settings.sdf_trace.half_resolution
+        stride = 2 if half else 1
+        gh, gw = state.gi_history.shape[1:]
+
+        def to_gi_res(plane):
+            p = plane[..., ::stride, ::stride]
+            pad_h = gh - p.shape[-2]
+            pad_w = gw - p.shape[-1]
+            widths = [(0, 0)] * (p.ndim - 2) + [(0, pad_h), (0, pad_w)]
+            return jnp.pad(p, widths)
+
+        gi_valid = to_gi_res(valid)
+        gi_wpos = to_gi_res(world_pos)
+        gi_normal = to_gi_res(gbuf[raster._CH_N:raster._CH_N + 3])
+        gi_lindepth = to_gi_res(
+            jnp.where(valid, -jnp.sum(
+                (cam["position"].reshape(3, 1, 1) - world_pos)
+                * cam["forward"].reshape(3, 1, 1), axis=0), 0.0))
+
+        # cosine ray per pixel from two blue-noise channels
+        # (sdfDiffuseTrace.comp:141-158)
+        xi0_tile = luts["blue_noise"][state.frame_index % 4]
+        xi1_tile = luts["blue_noise"][(state.frame_index + 1) % 4]
+        reps_gi = (gh // 32 + 1, gw // 32 + 1)
+        xi = jnp.stack([
+            jnp.tile(xi0_tile, reps_gi)[:gh, :gw],
+            jnp.tile(xi1_tile, reps_gi)[:gh, :gw]])
+        from ..utils.sampling import importance_sample_cosine
+
+        n_hwc = jnp.moveaxis(gi_normal, 0, -1)
+        dirs = importance_sample_cosine(jnp.moveaxis(xi, 0, -1), n_hwc)
+        gi_dirs = jnp.moveaxis(dirs, -1, 0)
+
+        sky_lowres = jax.image.resize(sky_lut, (3, 32, 64), method="linear")
+        y_sh, cocg = sdfgi.trace_gi(
+            gi_wpos, gi_normal, gi_dirs, gi_valid, sky_lowres,
+            scene["sdf_volume"], scene["sdf_albedo"], scene["sdf_origin"],
+            scene["sdf_voxel_size"], scene["sdf_dims"],
+            sun_dir, sun_color, sun_strength_exposed,
+            steps=settings.sdf_trace.trace_steps,
+            influence=settings.sdf_trace.influence_radius * 2.5,
+            interpret=interpret)
+
+        y_sh, cocg = sdfgi.neighborhood_resolve(
+            y_sh, cocg, gi_normal, gi_lindepth)
+        proj_scale = 0.5 * height / tan_fov_half
+        y_sh, cocg = sdfgi.spatial_filter(
+            y_sh, cocg, gi_normal, gi_wpos, gi_lindepth, state.frame_index,
+            1.5, proj_scale / stride, seed=0)
+
+        gi_motion = to_gi_res(motion_for_gi := taa_ops.compute_motion(
+            gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
+            state.prev_jitter, width, height))
+        hist_channels, hist_ok = taa_ops.resample_packed_planes(
+            state.gi_history, gi_motion, gw, gh, interpret=interpret)
+        hist_y_sh = hist_channels[0:4]
+        hist_cocg = hist_channels[4:6]
+        motion_mag_px = jnp.sqrt(
+            (gi_motion[0] * width) ** 2 + (gi_motion[1] * height) ** 2)
+        camera_cut_gi = state.frame_index == 0
+        y_sh, cocg = sdfgi.temporal_filter_gi(
+            y_sh, cocg, hist_y_sh, hist_cocg, hist_ok, motion_mag_px,
+            camera_cut_gi)
+        new_gi_history = jnp.stack([
+            taa_ops.pack_f16_pair(y_sh[0], y_sh[1]),
+            taa_ops.pack_f16_pair(y_sh[2], y_sh[3]),
+            taa_ops.pack_f16_pair(cocg[0], cocg[1]),
+        ])
+        y_sh, cocg = sdfgi.spatial_filter(
+            y_sh, cocg, gi_normal, gi_wpos, gi_lindepth, state.frame_index,
+            1.0, proj_scale / stride, seed=1)
+
+        if half:
+            gi_depth_half = to_gi_res(depth)
+            y_sh, cocg = sdfgi.upscale_half_to_full(
+                y_sh, cocg, depth, gi_depth_half, NEAR_PLANE, FAR_PLANE)
+            indirect_y_sh = y_sh[:, :ph, :pw]
+            indirect_cocg = cocg[:, :ph, :pw]
+        else:
+            indirect_y_sh = y_sh[:, :ph, :pw]
+            indirect_cocg = cocg[:, :ph, :pw]
+
     hdr = shade.shade_forward(
         config=settings.shading,
         world_pos=world_pos,
@@ -217,8 +329,8 @@ def render_frame(
         sun_strength_exposed=sun_strength_exposed,
         sun_shadow=sun_shadow,
         camera_position=cam["position"],
-        indirect_y_sh=None,
-        indirect_cocg=None,
+        indirect_y_sh=indirect_y_sh,
+        indirect_cocg=indirect_cocg,
     )
 
     # --- sky composite (pass 14) ---
@@ -228,6 +340,61 @@ def render_frame(
     hdr = sky.apply_sky(
         hdr, valid, sky_lut, luts["transmission"], view_dirs, sun_dir,
         sun_strength_exposed)
+
+    # --- froxel volumetric lighting (pass 11 + apply) ---
+    new_vol_history = state.volumetric_history
+    if settings.volumetrics.enabled and settings.shadows.cascade_count > 0:
+        vs = settings.volumetrics
+        fd = state.volumetric_history.shape[1]
+        fh, fw = state.volumetric_history.shape[2:]
+        wind_dir = jnp.asarray([
+            np.cos(np.deg2rad(vs.wind_direction_deg)), 0.0,
+            np.sin(np.deg2rad(vs.wind_direction_deg))], jnp.float32)
+        wind_offset = wind_dir * (
+            vs.wind_speed * state.frame_index.astype(jnp.float32) * 0.016)
+        fpos = vol_ops.froxel_world_positions(
+            (fw, fh, fd), cam, tan_fov_half, aspect, vs.max_distance)
+        mat_vol = vol_ops.material_volume(fpos, vs, wind_offset)
+
+        # coarse sun-shadow grid (replaces per-froxel shadow taps)
+        cd, ch, cw = max(fd // 4, 1), max(fh // 4, 1), max(fw // 4, 1)
+        cpos = vol_ops.froxel_world_positions(
+            (cw, ch, cd), cam, tan_fov_half, aspect, vs.max_distance)
+        last_c = settings.shadows.cascade_count - 1
+        m_light = cascade_mats[last_c]
+        cp = cpos.reshape(-1, 3)
+        lxy = cp @ m_light[:2, :3].T + m_light[:2, 3]
+        lz = cp @ m_light[2, :3] + m_light[2, 3]
+        sres_f = settings.shadows.resolution
+        su = jnp.clip(((lxy[:, 0] * 0.5 + 0.5) * sres_f).astype(jnp.int32),
+                      0, sres_f - 1)
+        sv = jnp.clip(((lxy[:, 1] * 0.5 + 0.5) * sres_f).astype(jnp.int32),
+                      0, sres_f - 1)
+        smap_depth = shadow_maps[last_c][sv, su]
+        shadow_c = (jnp.clip(lz, 0.0, 1.0) >= smap_depth).astype(jnp.float32)
+        shadow_c = shadow_c.reshape(cd, ch, cw)
+
+        scat_vol = vol_ops.light_scattering(
+            mat_vol, fpos, shadow_c, cam, sun_dir, sun_color,
+            sun_strength_exposed, vs.phase_g)
+        scat_vol = vol_ops.temporal_reprojection(
+            scat_vol, jnp.moveaxis(state.volumetric_history, 0, -1), cpos,
+            state.prev_view_projection, cam["position"], cam["forward"],
+            vs.max_distance, state.frame_index == 0)
+        new_vol_history = jnp.moveaxis(scat_vol, -1, 0)
+        integrated = vol_ops.integrate_froxels(scat_vol, vs.max_distance)
+
+        pixel_depth_fog = jnp.where(
+            valid,
+            -jnp.sum((cam["position"].reshape(3, 1, 1) - world_pos)
+                     * cam["forward"].reshape(3, 1, 1), axis=0),
+            vs.max_distance)  # sky uses max depth (sky.frag:31-34)
+        noise_fog = jnp.tile(
+            luts["blue_noise"][state.frame_index % 4],
+            (ph // 32 + 1, pw // 32 + 1))[:ph, :pw]
+        hdr = vol_ops.apply_froxel_fog(
+            hdr, pixel_depth_fog, integrated, vs.max_distance, noise_fog)
+
     scene_color = hdr  # pre-TAA color feeds next frame's histogram
 
     # --- TAA (pass 15) ---
@@ -263,6 +430,8 @@ def render_frame(
         prev_color=scene_color,
         prev_depth=depth,
         taa_history=taa_history,
+        gi_history=new_gi_history,
+        volumetric_history=new_vol_history,
         prev_view_projection=view_proj,
         prev_jitter=jitter_ndc,
     )
@@ -294,6 +463,30 @@ def _blue_noise_textures(count: int = 4, size: int = 32):
         for i in range(count)
     ]
     return np.stack(tiles)
+
+
+def attach_global_sdf(scene_dict: dict, gsdf) -> dict:
+    """Add the composited scene SDF (ops/sdf_scene.GlobalSDF) to the scene
+    arrays, padded/quantized for the trace kernel."""
+    vol = np.asarray(gsdf.volume)
+    alb = np.asarray(gsdf.albedo)
+    d, h, w = vol.shape
+    from ..ops.sdfgi import WINDOW, pack_albedo_volume, quantize_sdf_volume
+
+    pd = max((-d) % 8, WINDOW - d if d < WINDOW else 0)
+    ph_ = max((-h) % 8, WINDOW - h if h < WINDOW else 0)
+    pw_ = max((-w) % 128, WINDOW - w if w < WINDOW else 0)
+    vol = np.pad(vol, ((0, pd), (0, ph_), (0, pw_)), constant_values=1e4)
+    alb = np.pad(alb, ((0, pd), (0, ph_), (0, pw_), (0, 0)),
+                 constant_values=0.5)
+    scene_dict = dict(scene_dict)
+    scene_dict["sdf_volume"] = quantize_sdf_volume(
+        jnp.asarray(vol), gsdf.voxel_size)
+    scene_dict["sdf_albedo"] = pack_albedo_volume(jnp.asarray(alb))
+    scene_dict["sdf_origin"] = jnp.asarray(gsdf.origin)
+    scene_dict["sdf_voxel_size"] = float(gsdf.voxel_size)
+    scene_dict["sdf_dims"] = jnp.asarray(vol.shape, jnp.float32)
+    return scene_dict
 
 
 def bake_static_luts(settings: RenderSettings):

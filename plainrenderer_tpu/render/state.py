@@ -22,20 +22,22 @@ class FrameState(NamedTuple):
     prev_depth: jnp.ndarray  # (H, W) previous reverse-Z depth
     taa_history: jnp.ndarray  # (H, W) int32 R11G11B10-packed TAA history
     taa_luminance: jnp.ndarray  # (H, W) scene luminance history
-    gi_history_y: jnp.ndarray  # (4, Hg, Wg) Y-SH GI temporal history
-    gi_history_cocg: jnp.ndarray  # (2, Hg, Wg)
+    gi_history: jnp.ndarray  # (3, Hg, Wg) int32 f16-pair-packed YSH+CoCg
     volumetric_history: jnp.ndarray  # (4, D, Hv, Wv) froxel scattering history
     prev_view_projection: jnp.ndarray  # (4, 4)
     prev_jitter: jnp.ndarray  # (2,)
 
 
-def initial_state(width: int, height: int, gi_half_res: bool = False,
+def initial_state(width: int, height: int, gi_half_res: bool = True,
                   froxel_depth: int = 64) -> FrameState:
     """State buffers use the TILE-PADDED framebuffer size."""
     from ..ops.raster import pad_resolution
 
     w, h = pad_resolution(width, height)
-    gh, gw = (h // 2, w // 2) if gi_half_res else (h, w)
+    if gi_half_res:
+        gw, gh = pad_resolution(w // 2, h // 2)
+    else:
+        gh, gw = h, w
     vh, vw = max(h // 8, 1), max(w // 8, 1)
     return FrameState(
         frame_index=jnp.zeros((), jnp.int32),
@@ -44,8 +46,7 @@ def initial_state(width: int, height: int, gi_half_res: bool = False,
         prev_depth=jnp.zeros((h, w), jnp.float32),
         taa_history=jnp.zeros((h, w), jnp.int32),
         taa_luminance=jnp.zeros((h, w), jnp.float32),
-        gi_history_y=jnp.zeros((4, gh, gw), jnp.float32),
-        gi_history_cocg=jnp.zeros((2, gh, gw), jnp.float32),
+        gi_history=jnp.zeros((3, gh, gw), jnp.int32),
         volumetric_history=jnp.zeros((4, froxel_depth, vh, vw), jnp.float32),
         prev_view_projection=jnp.eye(4, dtype=jnp.float32),
         prev_jitter=jnp.zeros((2,), jnp.float32),
