@@ -48,19 +48,18 @@ def test_sharded_frame_8_devices():
 
 def test_band_matches_single_device_geometry():
     """A 2-band render must produce the same coverage layout as 1-device."""
+    import dataclasses
+
+    from plainrenderer_tpu.config import BloomSettings, TAASettings
+
     n = 2
     settings = RenderSettings(
         width=256, height=64 * n,
         sdf_trace=SDFTraceSettings(enabled=False),
-        taa=frame_mod.RenderSettings().taa._replace()
-        if False else RenderSettings().taa,
+        taa=TAASettings(enabled=False),
+        bloom=BloomSettings(enabled=False),
         exposure_adaption_speed=1000.0,
     )
-    import dataclasses
-
-    settings = dataclasses.replace(
-        settings, taa=dataclasses.replace(settings.taa, enabled=False),
-        bloom=dataclasses.replace(settings.bloom, enabled=False))
     scene = build_test_scene()
     luts = frame_mod.bake_static_luts(settings)
     ext = cam_mod.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
