@@ -76,9 +76,8 @@ def downsample_13tap(src):
     return acc[:, ::2, ::2]
 
 
-def upsample_tent(src, prev_mip, blur_radius: float, is_lowest: bool):
-    """bloomUpsample.comp — 9-tap tent blur of src (C, h, w) + 2x-upsampled
-    previous mip (C, h/2, w/2) repeated-box add. Returns (C, h, w)."""
+def tent9(src, blur_radius: float):
+    """bloomUpsample.comp taps 1-9 — 9-tap tent blur at src's own res."""
     r = blur_radius
     taps = [
         ((0.0, 0.0), 0.25),
@@ -90,30 +89,44 @@ def upsample_tent(src, prev_mip, blur_radius: float, is_lowest: bool):
     color = 0.0
     for (dy, dx), weight in taps:
         color = color + _bilinear_at_half_offsets(src, dy, dx) * weight
-    if not is_lowest and prev_mip is not None:
-        up = jnp.repeat(jnp.repeat(prev_mip, 2, axis=-2), 2, axis=-1)
-        up = up[:, :src.shape[1], :src.shape[2]]
-        # repeated box at +-0.5 source texels == 3x3 tent on the upsampled grid
-        box = (
-            _bilinear_at_half_offsets(up, 0.5, 0.5) * 0.25
-            + _bilinear_at_half_offsets(up, 0.5, -0.5) * 0.25
-            + _bilinear_at_half_offsets(up, -0.5, 0.5) * 0.25
-            + _bilinear_at_half_offsets(up, -0.5, -0.5) * 0.25)
-        color = color + box
     return color
 
 
+def _box_upsample(src, out_h: int, out_w: int):
+    """2x bilinear upsample at the quarter-texel target phases (nearest
+    repeat + symmetric half-texel box == exact bilinear of the source)."""
+    up = jnp.repeat(jnp.repeat(src, 2, axis=-2), 2, axis=-1)
+    up = up[:, :out_h, :out_w]
+    return (
+        _bilinear_at_half_offsets(up, 0.5, 0.5) * 0.25
+        + _bilinear_at_half_offsets(up, 0.5, -0.5) * 0.25
+        + _bilinear_at_half_offsets(up, -0.5, 0.5) * 0.25
+        + _bilinear_at_half_offsets(up, -0.5, -0.5) * 0.25)
+
+
 def compute_bloom(color, strength: float, blur_radius: float, mip_count: int):
-    """Bloom.cpp:56-144 — full chain; color (3, H, W) -> bloomed (3, H, W)."""
+    """Bloom.cpp:56-144 — full chain; color (3, H, W) -> bloomed (3, H, W).
+
+    Each upsample pass targets mip T from downscale mip T+1 (9-tap tent) plus
+    the previous upsampled mip (repeated box), all at FULL weight — the
+    reference chain is additive, so bloom's mean is ~(n_mips-1)x the scene's;
+    the tiny apply strength is what keeps the result plausible. Note mip 0 of
+    the bloom texture has no direct full-res scene term (bloomUpsample.comp
+    sources downscale mip 1).
+    """
     mips = [color]
     for _ in range(mip_count - 1):
         if mips[-1].shape[-1] < 4 or mips[-1].shape[-2] < 4:
             break
         mips.append(downsample_13tap(mips[-1]))
+    if len(mips) == 1:
+        return color
     prev = None
-    for level in range(len(mips) - 1, 0, -1):
-        prev = upsample_tent(mips[level], prev, blur_radius,
-                             is_lowest=(level == len(mips) - 1))
-    bloom = upsample_tent(mips[0], prev, blur_radius, is_lowest=False) \
-        if prev is not None else mips[0]
+    for target in range(len(mips) - 2, -1, -1):
+        h, w = mips[target].shape[-2:]
+        out = _box_upsample(tent9(mips[target + 1], blur_radius), h, w)
+        if prev is not None:
+            out = out + _box_upsample(prev, h, w)
+        prev = out
+    bloom = prev
     return color + (bloom - color) * strength

@@ -59,11 +59,15 @@ def pre_expose_lights(histogram, previous_exposure, sun_strength,
                       exposure_offset, adaption_speed_ev_per_sec, delta_time,
                       pixel_count, n_bins: int = N_BINS,
                       min_lum: float = MIN_LUMINANCE,
-                      max_lum: float = MAX_LUMINANCE):
+                      max_lum: float = MAX_LUMINANCE,
+                      camera_cut=False):
     """preExposeLights.comp:40-89 — returns (exposure, sun_strength_exposed).
 
     Mean over bins within the [50%, 95%] pixel-percentile band, EV100 with
     the CoD offset curve (plus the user exposure_offset), clamped adaption.
+    camera_cut snaps directly to the target exposure (no adaption clamp) so
+    the first frames aren't black/blown while adapting from the initial
+    state — the analog of the reference's history-reset-on-cut semantics.
     """
     log_min = jnp.log(min_lum)
     log_max = jnp.log(max_lum)
@@ -86,6 +90,7 @@ def pre_expose_lights(histogram, previous_exposure, sun_strength,
     ev_max_change = adaption_speed_ev_per_sec * delta_time
     ev_change = jnp.sign(ev_delta) * jnp.minimum(
         jnp.abs(ev_delta), jnp.abs(ev_max_change))
-    current_ev100 = previous_ev100 + ev_change
+    current_ev100 = jnp.where(camera_cut, target_ev100,
+                              previous_ev100 + ev_change)
     exposure = 1.0 / (jnp.power(2.0, current_ev100) * 1.2)
     return exposure, sun_strength * exposure

@@ -42,14 +42,17 @@ def gather_rows_128(table, flat_idx):
 def gather_window_2d(window, x, y):
     """Sample a 2D VMEM window at integer texel coords (clamped).
 
-    window: (WH, WW) with WW == 128 (one lane-row per texel row).
+    window: (WH, WW) with WW a multiple of 128.
     x, y: (S, 128) int32 texel coords; clamped to the window.
     """
     wh, ww = window.shape
-    assert ww == 128, "2D windows must be 128 texels wide"
+    assert ww % 128 == 0, "2D windows must be a multiple of 128 texels wide"
     xc = jnp.clip(x, 0, ww - 1)
     yc = jnp.clip(y, 0, wh - 1)
-    return gather_rows_128(window, yc * 128 + xc)
+    if ww == 128:
+        return gather_rows_128(window, yc * 128 + xc)
+    return gather_rows_128(window.reshape(wh * ww // 128, 128),
+                           yc * ww + xc)
 
 
 def sample_window_bilinear(window, u, v):

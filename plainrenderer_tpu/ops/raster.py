@@ -9,19 +9,21 @@ three-stage, fully data-parallel design chosen for TPU hardware:
      a screen-affine reverse-Z plane and perspective-correct attribute planes
      are computed with zero gathers (corners are stored unindexed).
   2. binning (jnp): per-triangle fine-tile (16x128 px) coverage is expanded
-     into (tile, triangle) pairs via static span classes, sorted by tile with
-     ONE bounded lax.sort, and the per-triangle setups are duplicated into
-     pair order with a contiguous-row take (runs at HBM copy speed; measured
-     ~1ms/141MB on v5e, unlike XLA's per-element gather at ~8 cycles/elem).
+     EXACTLY into (tile, triangle) pairs (sort-based searchsorted over the
+     cumulative span counts), ordered by ONE packed-key lax.sort (the TPU
+     radix sort; ~2 ms/M keys measured on v5e), then re-gathered into
+     GROUP-aligned per-tile segments because the DMA engine requires
+     lane-aligned slice offsets. Per-triangle setups are duplicated into
+     pair order with a contiguous-row take.
   3. raster kernel (Pallas): one program per 16x128 tile streams its
      contiguous pair-setup slice from HBM with double-buffered DMA, evaluates
-     16 triangles x 1024 pixels per jax.lax.dot_general on the MXU
-     (edge/depth evaluation IS a matmul: [coeff 3 x 64 planes]^T [3 x 1024
-     pixel basis]), and resolves visibility with a single integer max by
-     packing the pair slot into the low mantissa bits of the reverse-Z f32
-     depth. The G-buffer pass then selects each pixel's winning attribute
-     plane coefficients with jnp.take_along_axis along lanes (the TPU's fast
-     in-register gather) and evaluates them per pixel.
+     128 triangles x 2048 pixels per jax.lax.dot_general on the MXU
+     (edge/depth evaluation IS a matmul: [coeff 4 x 128 pairs]^T [4 x 2048
+     pixel basis] per plane), and resolves visibility with a single integer
+     max by packing the pair slot into the low mantissa bits of the
+     reverse-Z f32 depth. The G-buffer pass then selects each pixel's
+     winning attribute plane coefficients with jnp.take_along_axis along
+     lanes (the TPU's fast in-register gather) and evaluates them per pixel.
 
 Reverse-Z, GreaterEqual compares, and Vulkan NDC conventions match the
 reference exactly (Camera.cpp:14-27; depth tests at RenderFrontend.cpp:1574,
@@ -33,6 +35,7 @@ is no alpha-test path in the visibility stage yet.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,27 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 16
 TILE_W = 128
 PX_PER_TILE = TILE_H * TILE_W  # 2048
-GROUP = 64  # pairs per DMA + MXU step: (3,256)x(3,2048) per group
+GROUP = 128  # pairs per DMA + MXU step; 128 satisfies DMA lane alignment
 SLOT_BITS = 11  # pair-slot bits packed into the depth mantissa
 SLOT_MASK = (1 << SLOT_BITS) - 1
 MAX_PAIRS_PER_TILE = 1 << SLOT_BITS
 NATTR = 48  # attribute-plane rows per triangle (16 planes x 3 coeffs)
-
-# span classes (tiles_y, tiles_x); a triangle lands in the smallest class
-# covering its tile-space bbox. cap_frac is the per-class capacity as a
-# fraction of the triangle count (static shapes; overflow is dropped and
-# counted). The final "fullscreen" class is appended at runtime.
-SPAN_CLASSES = (
-    ((1, 1), 1.0),
-    ((2, 1), 0.75),
-    ((2, 2), 0.5),
-    ((4, 2), 0.25),
-    ((4, 4), 0.125),
-    ((8, 4), 0.0625),
-    ((16, 8), 0.03125),
-)
-FULLSCREEN_CAP = 64
-
 
 def pad_resolution(width: int, height: int) -> tuple[int, int]:
     """Framebuffer padded so tiles divide it exactly."""
@@ -72,6 +59,7 @@ def pad_resolution(width: int, height: int) -> tuple[int, int]:
     return w, h
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TriangleSetup:
     """Per-triangle raster state (all dense, (T,)-leading)."""
@@ -109,8 +97,11 @@ def geometry_setup(
     triangle.vert / depthPrepass.vert with reverse-Z viewport transform."""
     t_count = corners.shape[0]
     flat = corners.reshape(-1, 3)
-    clip = flat @ view_proj[:3, :3].T + view_proj[:3, 3]
-    clip_w = flat @ view_proj[3, :3] + view_proj[3, 3]
+    # full f32 matmuls: the TPU default (bf16 MXU passes) shifts projected
+    # coordinates by ~1e-3 relative, enough to flip edge tests per pixel
+    _dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    clip = _dot(flat, view_proj[:3, :3].T) + view_proj[:3, 3]
+    clip_w = _dot(flat, view_proj[3, :3]) + view_proj[3, 3]
     clip = clip.reshape(t_count, 3, 3)
     w = clip_w.reshape(t_count, 3)
 
@@ -195,8 +186,8 @@ def geometry_setup(
                              valid=valid)
 
     # perspective-correct attribute planes: interpolate q/w and 1/w affinely
-    prev_clip = flat @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
-    prev_w = flat @ prev_view_proj[3, :3] + prev_view_proj[3, 3]
+    prev_clip = _dot(flat, prev_view_proj[:3, :3].T) + prev_view_proj[:3, 3]
+    prev_w = _dot(flat, prev_view_proj[3, :3]) + prev_view_proj[3, 3]
     prev_clip = prev_clip.reshape(t_count, 3, 3)
     prev_w = prev_w.reshape(t_count, 3)
 
@@ -231,6 +222,7 @@ def geometry_setup(
 # binning
 # --------------------------------------------------------------------------
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PairLists:
     """Sorted (tile, triangle) pair stream + per-tile ranges."""
@@ -241,103 +233,84 @@ class PairLists:
     overflow: jnp.ndarray  # () i32 diagnostic: dropped pairs/triangles
 
 
-def _class_table(n_tiles_y: int, n_tiles_x: int):
-    classes = [(span, frac) for span, frac in SPAN_CLASSES]
-    classes.append(((n_tiles_y, n_tiles_x), None))  # fullscreen
-    return classes
-
-
-def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int) -> PairLists:
+def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
+                pairs_per_tri: float = 4.0) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
-    One lax.sort over a statically-bounded candidate array (span classes with
-    capacity caps) replaces the reference's per-drawcall command recording;
-    the per-tile GROUP padding uses per-tile dummy pairs keyed to sort
-    directly after their tile's real pairs.
+    EXACT per-triangle tile-coverage expansion: pair j's triangle is found
+    by binary search over the cumulative span counts (no per-class window
+    over-generation — the candidate stream is ~len(sum of spans), typically
+    ~1.2x the triangle count at 1080p, instead of the ~17x of a class
+    scheme). One single-array lax.sort of packed (tile, tri) keys orders the
+    stream; per-tile segments are then re-gathered at GROUP-aligned offsets
+    because the TPU DMA engine requires lane-aligned slice offsets.
+
+    pairs_per_tri bounds the static candidate size; overflow (dropped pairs)
+    is counted in the result for observability.
     """
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
+    assert (n_tiles + 1) * (t_count + 1) < 2 ** 31, "packed key overflow"
     ty0, tx0, ty1, tx1 = (setup.tile_bbox[:, i] for i in range(4))
-    span_y = ty1 - ty0 + 1
-    span_x = tx1 - tx0 + 1
+    span_y = jnp.where(setup.valid, ty1 - ty0 + 1, 0)
+    span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
+    span = span_y * span_x
 
-    classes = _class_table(n_tiles_y, n_tiles_x)
-    # class id = first class whose span covers the triangle's span
-    class_id = jnp.full((t_count,), len(classes) - 1, jnp.int32)
-    for ci in reversed(range(len(classes) - 1)):
-        (cy, cx), _ = classes[ci]
-        fits = (span_y <= cy) & (span_x <= cx)
-        class_id = jnp.where(fits, ci, class_id)
-    class_id = jnp.where(setup.valid, class_id, len(classes))  # invalid last
+    ends = jnp.cumsum(span)  # inclusive prefix counts
+    offsets = ends - span
+    total = ends[-1]
+    p_max = max(GROUP, int(t_count * pairs_per_tri) // GROUP * GROUP)
+    overflow = jnp.maximum(total - p_max, 0)
 
-    # sort triangles by class once; per-class slices come out contiguous
-    order_key = class_id * (t_count + 1) + jnp.arange(t_count, dtype=jnp.int32)
-    _, tri_by_class = jax.lax.sort(
-        (order_key, jnp.arange(t_count, dtype=jnp.int32)), num_keys=1
-    )
-    # dense per-class counts (avoids XLA scatter, which is slow on TPU)
-    class_counts = jnp.stack(
-        [jnp.sum(class_id == ci).astype(jnp.int32)
-         for ci in range(len(classes) + 1)]
-    )
-    class_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(class_counts)]
-    )
+    j = jnp.arange(p_max, dtype=jnp.int32)
+    # owner triangle of pair j: first triangle whose end > j (zero-span
+    # triangles tie on ends and are skipped by side='right')
+    # method='sort' rides the TPU's fast radix sort; the default binary
+    # scan costs ~8 cycles/element/iteration in XLA gathers (measured 7x
+    # slower at this size)
+    tri = jnp.clip(
+        jnp.searchsorted(ends, j, side="right", method="sort"),
+        0, t_count - 1).astype(jnp.int32)
+    local = j - offsets[tri]
+    in_use = (j < total) & (local >= 0) & (local < span[tri])
+    sxw = jnp.maximum(span_x[tri], 1)
+    dy = local // sxw
+    dx = local - dy * sxw
+    tile = (ty0[tri] + dy) * n_tiles_x + (tx0[tri] + dx)
 
-    invalid_key = jnp.int32(2 * n_tiles + 2)
-    key_chunks = []
-    val_chunks = []
-    overflow = jnp.int32(0)
-    tri_by_class_padded = jnp.concatenate(
-        [tri_by_class, jnp.zeros((t_count,), jnp.int32)]
-    )
-
-    for ci, ((cy, cx), frac) in enumerate(classes):
-        cap = FULLSCREEN_CAP if frac is None else max(GROUP, int(t_count * frac))
-        cap = min(cap, t_count)
-        start = class_offsets[ci]
-        count = class_counts[ci]
-        overflow = overflow + jnp.maximum(count - cap, 0)
-        tris = jax.lax.dynamic_slice(tri_by_class_padded, (start,), (cap,))
-        in_class = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(count, cap)
-        # candidate tiles: the (cy x cx) window anchored at the tri's bbox
-        cand_ty = ty0[tris][:, None] + jnp.arange(cy, dtype=jnp.int32)[None, :]
-        cand_tx = tx0[tris][:, None] + jnp.arange(cx, dtype=jnp.int32)[None, :]
-        ok_y = cand_ty <= ty1[tris][:, None]  # (cap, cy)
-        ok_x = cand_tx <= tx1[tris][:, None]  # (cap, cx)
-        ok = (ok_y[:, :, None] & ok_x[:, None, :]) & in_class[:, None, None]
-        tile_lin = (
-            jnp.clip(cand_ty, 0, n_tiles_y - 1)[:, :, None] * n_tiles_x
-            + jnp.clip(cand_tx, 0, n_tiles_x - 1)[:, None, :]
-        )
-        keys = jnp.where(ok, tile_lin * 2, invalid_key).reshape(-1)
-        vals = jnp.broadcast_to(tris[:, None, None], ok.shape).reshape(-1)
-        key_chunks.append(keys.astype(jnp.int32))
-        val_chunks.append(vals.astype(jnp.int32))
-
-    # per-tile dummy pairs: key = tile*2+1 sorts right after the tile's reals
-    dummy_keys = (
-        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * 2 + 1
-        + jnp.zeros((1, GROUP - 1), jnp.int32)
-    ).reshape(-1)
-    dummy_vals = jnp.full_like(dummy_keys, t_count)  # degenerate setup row
-    key_chunks.append(dummy_keys)
-    val_chunks.append(dummy_vals)
-
-    keys = jnp.concatenate(key_chunks)
-    vals = jnp.concatenate(val_chunks)
-    keys_sorted, pair_tri = jax.lax.sort((keys, vals), num_keys=1)
+    key = jnp.where(in_use, tile * (t_count + 1) + tri,
+                    jnp.int32(n_tiles * (t_count + 1)))
+    keys_sorted = jax.lax.sort(key)
+    sorted_tri = keys_sorted % (t_count + 1)
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(keys_sorted, tile_ids * 2).astype(jnp.int32)
-    first_dummy = jnp.searchsorted(keys_sorted, tile_ids * 2 + 1).astype(jnp.int32)
-    n_real = first_dummy - tile_start
-    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE - GROUP)
+    raw_start = jnp.searchsorted(
+        keys_sorted, tile_ids * (t_count + 1)).astype(jnp.int32)
+    raw_end = jnp.searchsorted(
+        keys_sorted, (tile_ids + 1) * (t_count + 1)).astype(jnp.int32)
+    n_real = raw_end - raw_start
+    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE)
     overflow = overflow + jnp.sum(n_real - capped)
     tile_groups = (capped + GROUP - 1) // GROUP
+
+    # re-gather the sorted stream into GROUP-ALIGNED per-tile segments: the
+    # TPU DMA engine requires tile-aligned slice offsets/extents (second-
+    # minor multiples of the sublane packing, minor multiples of 128), so
+    # every tile's segment must start at a multiple of GROUP=128
+    aligned_start = (jnp.cumsum(tile_groups) - tile_groups) * GROUP
+    p_aligned = p_max + n_tiles * (GROUP - 1)  # static worst case
+    ja = jnp.arange(p_aligned, dtype=jnp.int32)
+    # among tiles sharing a start (zero-group ties) only the last can own it
+    tile_of_j = (jnp.searchsorted(aligned_start, ja, side="right",
+                                  method="sort") - 1).astype(jnp.int32)
+    local_a = ja - aligned_start[tile_of_j]
+    in_range = local_a < capped[tile_of_j]
+    src = jnp.clip(raw_start[tile_of_j] + local_a, 0, p_max - 1)
+    pair_tri = jnp.where(in_range, sorted_tri[src], t_count)
+
     return PairLists(
         pair_tri=pair_tri,
-        tile_start=tile_start,
+        tile_start=aligned_start.astype(jnp.int32),
         tile_groups=tile_groups,
         overflow=overflow,
     )
@@ -347,21 +320,23 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
                        with_attrs: bool):
     """Duplicate per-triangle setups into pair order (contiguous-row takes).
 
-    Returns (pair_edges (P, 12) f32, pair_attrs (NATTR, P) f32 | None).
-    The kernel DMAs contiguous slices of these; layouts chosen so no
-    in-kernel transpose is needed: pair_edges rows are [a0 b0 c0 a1 ... c3]
-    re-grouped in-kernel via a (3,4,GROUP) DMA view of the transposed copy.
+    Returns (pair_edges (16, P) f32, pair_attrs (NATTR, P) f32 | None).
+    The kernel DMAs contiguous (16, GROUP) / (NATTR, GROUP) slices of these;
+    rows are plane-major [a, b, c, 0] x 4 planes so the sublane extent (16)
+    and lane offsets (tile_start multiples of GROUP=128) satisfy the DMA
+    engine's tile-alignment rules, and the kernel needs no shape cast
+    (Mosaic rejects lane-crossing reshapes, the round-1 blocker).
     """
     t_count = setup.valid.shape[0]
     # pad triangle tables with one degenerate entry at index T
     never = jnp.zeros((3, 4, 1), jnp.float32).at[2, :, 0].set(-1.0)
     edges_pad = jnp.concatenate([setup.edges, never], axis=2)  # (3,4,T+1)
-    # (T+1, 12) row-major per triangle for the copy-speed take
-    edges_rows = edges_pad.transpose(2, 0, 1).reshape(t_count + 1, 12)
-    pair_rows = edges_rows[pairs.pair_tri]  # (P, 12) contiguous-row take
-    # kernel layout (3, 4, P): coeff-major so the DMA slice reshapes to the
-    # (3, 64) MXU operand with zero relayout
-    pair_edges = pair_rows.reshape(-1, 3, 4).transpose(1, 2, 0)
+    # (T+1, 16) rows [plane-major: a, b, c, pad] for the copy-speed take
+    e = edges_pad.transpose(2, 1, 0)  # (T+1, 4 planes, 3 coeffs)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
+    edges_rows = e.reshape(t_count + 1, 16)
+    pair_rows = edges_rows[pairs.pair_tri]  # (P, 16) contiguous-row take
+    pair_edges = pair_rows.T  # (16, P)
 
     pair_attrs = None
     if with_attrs:
@@ -387,11 +362,12 @@ _CH_PREV = 15  # 15-16 prev ndc xy
 _CH_MAT = 17
 
 def _pixel_basis(tile_y, tile_x):
-    """(3, PX_PER_TILE) matrix [x; y; 1] at pixel centers for this tile.
+    """(4, PX_PER_TILE) matrix [x; y; 1; 0] at pixel centers for this tile.
 
     Pixels are laid out lane-linear: lane j = (row j // TILE_W, col j %
     TILE_W) of the tile; the final (1, PX) accumulator reshapes to
-    (TILE_H, TILE_W) once per tile.
+    (TILE_H, TILE_W) once per tile. The zero 4th row pairs with the pad
+    coefficient row of the (16, P) edge layout.
     """
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PX_PER_TILE), 1)
     x_local = (lin % TILE_W).astype(jnp.float32) + 0.5
@@ -399,7 +375,8 @@ def _pixel_basis(tile_y, tile_x):
     x = x_local + (tile_x * TILE_W).astype(jnp.float32)
     y = y_local + (tile_y * TILE_H).astype(jnp.float32)
     ones = jnp.ones_like(x)
-    return jnp.concatenate([x, y, ones], axis=0)  # (3, PX)
+    zeros = jnp.zeros_like(x)
+    return jnp.concatenate([x, y, ones, zeros], axis=0)  # (4, PX)
 
 
 def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
@@ -410,7 +387,7 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
-    start = start_ref[tile]
+    start = pl.multiple_of(start_ref[tile], GROUP)
     n_groups = ngroups_ref[tile]
 
     basis = _pixel_basis(ty, tx)  # (3, PX)
@@ -418,7 +395,7 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
 
     def group_dma(slot, g):
         return pltpu.make_async_copy(
-            edges_ref.at[:, :, pl.ds(start + g * GROUP, GROUP)],
+            edges_ref.at[:, pl.ds(start + g * GROUP, GROUP)],
             edge_buf.at[slot],
             sems.at[slot],
         )
@@ -435,17 +412,21 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
             group_dma(1 - slot, g + 1).start()
 
         group_dma(slot, g).wait()
-        # (3, 4, GROUP) -> (3, 4*GROUP): contiguous minor dims, no relayout
-        mat = edge_buf[slot].reshape(3, 4 * GROUP)
-        # planes (4*GROUP, PX): rows [e0 of all GROUP pairs, e1..., e2..., z...]
-        planes = jax.lax.dot_general(
-            mat, basis, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        e0 = planes[0 * GROUP:1 * GROUP]
-        e1 = planes[1 * GROUP:2 * GROUP]
-        e2 = planes[2 * GROUP:3 * GROUP]
-        zz = planes[3 * GROUP:4 * GROUP]
+        mat = edge_buf[slot]  # (16, GROUP): 4 planes x [a, b, c, pad]
+
+        # per plane p: (4, GROUP) coeffs x (4, PX) basis -> (GROUP, PX);
+        # value-level sublane slices, no shape cast
+        def plane_eval(p):
+            return jax.lax.dot_general(
+                mat[4 * p:4 * p + 4], basis, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        e0 = plane_eval(0)
+        e1 = plane_eval(1)
+        e2 = plane_eval(2)
+        zz = plane_eval(3)
         cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
         if depth_clamp:
             # sun-shadow semantics: the reference renders cascades with
@@ -470,16 +451,16 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
-    acc = acc_ref[...]  # (1, PX) int32
+    # reshape the i32 accumulator ONCE to (TILE_H, TILE_W); all masks are
+    # derived in 2D afterwards (Mosaic rejects i1 lane-crossing reshapes)
+    acc2d = acc_ref[...].reshape(TILE_H, TILE_W)
     if track_winner:
-        depth_bits = acc & jnp.int32(~SLOT_MASK)
+        depth_bits = acc2d & jnp.int32(~SLOT_MASK)
     else:
-        depth_bits = acc
-    depth = pltpu.bitcast(depth_bits, jnp.float32)
-    depth_ref[...] = depth.reshape(TILE_H, TILE_W)
+        depth_bits = acc2d
+    depth_ref[...] = pltpu.bitcast(depth_bits, jnp.float32)
     if vis_ref is not None:
-        vis = jnp.where(acc != 0, acc & SLOT_MASK, -1)
-        vis_ref[...] = vis.reshape(TILE_H, TILE_W)
+        vis_ref[...] = jnp.where(acc2d != 0, acc2d & SLOT_MASK, -1)
 
 
 def _depth_kernel(start_ref, ngroups_ref, edges_ref, depth_ref,
@@ -498,14 +479,14 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
-            pltpu.VMEM((2, 3, 4, GROUP), jnp.float32),
+            pltpu.VMEM((2, 16, GROUP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -530,19 +511,20 @@ def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
-    start = start_ref[tile]
+    start = pl.multiple_of(start_ref[tile], GROUP)
     n_groups = ngroups_ref[tile]
 
-    acc = acc_ref[...]  # (1, PX) int32 packed depth|slot
-    valid_px = acc != 0
-    slot_px = acc & SLOT_MASK  # (1, PX)
+    # i32 reshape once; masks derived in 2D (i1 reshapes are Mosaic-illegal)
+    acc2d = acc_ref[...].reshape(TILE_H, TILE_W)  # packed depth|slot
+    valid2d = acc2d != 0
+    slot2d = acc2d & SLOT_MASK
 
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
     n_slot_groups = (n_groups * GROUP + 127) // 128
 
     def sg_body(sg, _):
-        sel = valid_px & ((slot_px >> 7) == sg)
-        hit = jnp.any(sel)
+        sel8 = valid2d & ((slot2d >> 7) == sg)
+        hit = jnp.any(sel8)
 
         @pl.when(hit)
         def _():
@@ -554,8 +536,7 @@ def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
             dma.start()
             dma.wait()
             # per-pixel local slot in [0, 128) -> lane-gather indices
-            idx8 = jnp.clip(slot_px - sg * 128, 0, 127).reshape(TILE_H, TILE_W)
-            sel8 = sel.reshape(TILE_H, TILE_W)
+            idx8 = jnp.clip(slot2d - sg * 128, 0, 127)
             for c in range(NATTR):
                 row = jnp.broadcast_to(attr_buf[c:c + 1, :], (TILE_H, 128))
                 val = jnp.take_along_axis(row, idx8, axis=1)
@@ -569,7 +550,7 @@ def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
     x = lin.astype(jnp.float32) + 0.5 + (tx * TILE_W)
     yrow = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     y = yrow.astype(jnp.float32) + 0.5 + (ty * TILE_H)
-    valid = valid_px.reshape(TILE_H, TILE_W)
+    valid = valid2d
 
     def ev(base):
         return coeff_ref[base] * x + coeff_ref[base + 1] * y + coeff_ref[base + 2]
@@ -629,8 +610,8 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
@@ -644,7 +625,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         scratch_shapes=[
             pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
             pltpu.VMEM((NATTR, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((2, 3, 4, GROUP), jnp.float32),
+            pltpu.VMEM((2, 16, GROUP), jnp.float32),
             pltpu.VMEM((NATTR, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

@@ -19,10 +19,12 @@ Parity (technique + outputs identical, evaluation strategy TPU-native):
     becomes a jittered fixed-tap blur (dense shifts, no gathers);
   - depth-aware half->full upscale (indirectLightUpscale.comp).
 
-Trace kernel: each 16x128 tile DMAs a WINDOW^3 crop of the global SDF
-(distances quantized to s8 eighths-of-a-voxel, packed 4 per int32 so one
-lane-gather serves 4 voxels) plus the packed albedo volume into VMEM, and
-marches all 2048 rays with masked fixed-count steps.
+Trace kernel: the global SDF is stored as a pool of 16^3-voxel BRICKS, each
+exactly one (8, 128) int32 tile (s8 distances, 4 per word) so every window
+fetch is a tile-aligned DMA (the TPU DMA engine rejects unaligned slices).
+Each 16x128 screen tile DMAs the 2x2x2 bricks (= a 32^3 window) around its
+mean surface point plus the matching albedo bricks into VMEM and marches
+all 2048 rays with masked fixed-count steps and lane-gather point samples.
 """
 
 from __future__ import annotations
@@ -39,23 +41,44 @@ from ..utils.color import linear_to_ycocg, ycocg_to_linear  # noqa: F401
 from . import gatherlib
 from .raster import TILE_H, TILE_W
 
-WINDOW = 32  # voxels per axis of the per-tile trace window
+WINDOW = 32  # voxels per axis of the per-tile trace window (2x2x2 bricks)
+BRICK = 16  # voxels per brick axis; one brick == one aligned DMA granule
 _SDF_SCALE = 8.0  # stored = distance / voxel_size * 8 (1/8-voxel precision)
 
 
 def quantize_sdf_volume(volume, voxel_size):
-    """(D, H, W) f32 world distances -> (D, H, W//4) int32 packed 4x s8."""
+    """(D, H, W) f32 world distances (dims multiples of 16) -> brick-pooled
+    (NB, 8, 128) int32: 16^3-voxel bricks, s8 quantized, packed 4-per-word
+    along x. Each brick is exactly one (8, 128) i32 tile, so the trace
+    kernel's window DMAs are tile-aligned by construction (the TPU DMA
+    engine rejects unaligned slices; SDFGI.cpp's per-instance 3D textures
+    have no such constraint, hence the redesign).
+
+    Brick linear index: (bz * NBY + by) * NBX + bx. In-brick word index:
+    (lz * 16 + ly) * 4 + (lx >> 2)."""
     d, h, w = volume.shape
+    assert d % BRICK == 0 and h % BRICK == 0 and w % BRICK == 0
     q = jnp.clip(jnp.round(volume / voxel_size * _SDF_SCALE), -127, 127)
     q = q.astype(jnp.int32) & 0xFF
     q = q.reshape(d, h, w // 4, 4)
-    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+    words = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+    nbz, nby, nbx = d // BRICK, h // BRICK, w // BRICK
+    b = words.reshape(nbz, BRICK, nby, BRICK, nbx, BRICK // 4)
+    b = b.transpose(0, 2, 4, 1, 3, 5)  # (nbz, nby, nbx, lz, ly, wx)
+    return b.reshape(nbz * nby * nbx, 8, 128)
 
 
 def pack_albedo_volume(albedo):
-    """(D, H, W, 3) f32 -> (D, H, W) int32 rgb8."""
+    """(D, H, W, 3) f32 -> brick-pooled (NB, 32, 128) int32 rgb8 (one word
+    per voxel; in-brick word index (lz * 16 + ly) * 16 + lx)."""
+    d, h, w = albedo.shape[:3]
+    assert d % BRICK == 0 and h % BRICK == 0 and w % BRICK == 0
     q = jnp.clip(jnp.round(albedo * 255.0), 0, 255).astype(jnp.int32)
-    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+    words = q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+    nbz, nby, nbx = d // BRICK, h // BRICK, w // BRICK
+    b = words.reshape(nbz, BRICK, nby, BRICK, nbx, BRICK)
+    b = b.transpose(0, 2, 4, 1, 3, 5)
+    return b.reshape(nbz * nby * nbx, 32, 128)
 
 
 def _unpack_s8(word, byte):
@@ -63,14 +86,36 @@ def _unpack_s8(word, byte):
     return jnp.where(v > 127, v - 256, v).astype(jnp.float32) / _SDF_SCALE
 
 
+def _acos_approx(x):
+    """Abramowitz-Stegun 4.4.45 polynomial acos (max err ~7e-5); Pallas TPU
+    has no acos lowering and the sky-LUT texel math only needs ~1e-3."""
+    ax = jnp.abs(x)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.0742610 - 0.0187293 * ax)))
+    return jnp.where(x < 0.0, np.pi - r, r)
+
+
+def _atan2_approx(y, x):
+    """Octant-folded A&S 4.4.49 polynomial atan2 (max err ~1e-5)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    t = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-20)
+    t2 = t * t
+    a = t * (0.9998660 + t2 * (-0.3302995 + t2 * (
+        0.1801410 + t2 * (-0.0851330 + t2 * 0.0208351))))
+    a = jnp.where(ay > ax, np.pi / 2 - a, a)
+    a = jnp.where(x < 0.0, np.pi - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
 def _trace_kernel(
     meta_ref,  # (1, 8) f32: volume origin xyz, voxel_size, vol dims dhw
     wpos_ref, normal_ref, raydir_ref,  # (3, TILE_H, TILE_W)
     valid_ref,  # (TILE_H, TILE_W) f32 (>0 = surface)
-    sky_ref,  # (3, SKY_H, SKY_W) low-res sky fallback (VMEM)
+    sky_ref,  # (3, SKY_H*SKY_W/128, 128) pre-flattened low-res sky (VMEM)
     sun_ref,  # (1, 8) f32: sun dir xyz, sun color rgb, strength, pad
-    sdf_ref,  # packed global SDF (D, H, W/4) int32 in ANY
-    alb_ref,  # packed albedo (D, H, W) int32 in ANY
+    sdf_ref,  # brick-pooled global SDF (NB, 8, 128) int32 in HBM
+    alb_ref,  # brick-pooled albedo (NB, 32, 128) int32 in HBM
     out_ref,  # (6, TILE_H, TILE_W): Y_SH(4) + CoCg(2)
     win_sdf, win_alb, sems,
     *, steps: int, influence: float, sky_h: int, sky_w: int,
@@ -84,7 +129,7 @@ def _trace_kernel(
     vw = meta_ref[0, 6].astype(jnp.int32)
 
     valid = valid_ref[...] > 0.0
-    # window origin (voxel coords) around the masked mean surface point
+    # window origin (brick coords) around the masked mean surface point
     count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
     def mean_of(plane):
@@ -93,41 +138,53 @@ def _trace_kernel(
     cx = (mean_of(wpos_ref[0]) - ox) / voxel
     cy = (mean_of(wpos_ref[1]) - oy) / voxel
     cz = (mean_of(wpos_ref[2]) - oz) / voxel
-    bx = jnp.clip(cx.astype(jnp.int32) - WINDOW // 2, 0,
-                  jnp.maximum(vw - WINDOW, 0))
-    by = jnp.clip(cy.astype(jnp.int32) - WINDOW // 2, 0,
-                  jnp.maximum(vh - WINDOW, 0))
-    bz = jnp.clip(cz.astype(jnp.int32) - WINDOW // 2, 0,
-                  jnp.maximum(vd - WINDOW, 0))
+    nbx = vw // BRICK
+    nby = vh // BRICK
+    nbz = vd // BRICK
+    # base brick so the 2x2x2-brick window roughly centers the mean point
+    bx0 = jnp.clip(jnp.floor((cx - 8.0) / BRICK).astype(jnp.int32),
+                   0, jnp.maximum(nbx - 2, 0))
+    by0 = jnp.clip(jnp.floor((cy - 8.0) / BRICK).astype(jnp.int32),
+                   0, jnp.maximum(nby - 2, 0))
+    bz0 = jnp.clip(jnp.floor((cz - 8.0) / BRICK).astype(jnp.int32),
+                   0, jnp.maximum(nbz - 2, 0))
 
-    sdf_dma = pltpu.make_async_copy(
-        sdf_ref.at[pl.ds(bz, WINDOW), pl.ds(by, WINDOW),
-                   pl.ds(bx // 4, WINDOW // 4)],
-        win_sdf, sems.at[0])
-    alb_dma = pltpu.make_async_copy(
-        alb_ref.at[pl.ds(bz, WINDOW), pl.ds(by, WINDOW), pl.ds(bx, WINDOW)],
-        win_alb, sems.at[1])
-    sdf_dma.start()
-    alb_dma.start()
-    sdf_dma.wait()
-    alb_dma.wait()
+    # fetch the 8 window bricks (each one aligned (8,128)/(32,128) DMA)
+    dmas = []
+    for k, (dz_, dy_, dx_) in enumerate(
+            [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]):
+        bidx = ((bz0 + dz_) * nby + (by0 + dy_)) * nbx + (bx0 + dx_)
+        dmas.append(pltpu.make_async_copy(
+            sdf_ref.at[bidx], win_sdf.at[pl.ds(k * 8, 8)], sems.at[k]))
+        dmas.append(pltpu.make_async_copy(
+            alb_ref.at[bidx], win_alb.at[pl.ds(k * 32, 32)], sems.at[8 + k]))
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
 
-    # window tables as (rows, 128) for the lane gather
-    sdf_flat = win_sdf[...].reshape(WINDOW * WINDOW * (WINDOW // 4) // 128, 128)
-    alb_flat = win_alb[...].reshape(WINDOW * WINDOW * WINDOW // 128, 128)
-    bx4 = (bx // 4) * 4  # window x origin snapped to the packing
+    sdf_table = win_sdf[...]  # (64, 128): brick k rows [8k, 8k+8)
+    alb_table = win_alb[...]  # (256, 128): brick k rows [32k, 32k+32)
+    wx0 = (bx0 * BRICK).astype(jnp.float32)
+    wy0 = (by0 * BRICK).astype(jnp.float32)
+    wz0 = (bz0 * BRICK).astype(jnp.float32)
 
-    def sample_sdf(px, py, pz):
-        """Point-sample the window at world position (clamped)."""
-        gx = jnp.clip((px - ox) / voxel - bx4, 0.0, WINDOW - 1.0)
-        gy = jnp.clip((py - oy) / voxel - by, 0.0, WINDOW - 1.0)
-        gz = jnp.clip((pz - oz) / voxel - bz, 0.0, WINDOW - 1.0)
+    def window_coords(px, py, pz):
+        gx = jnp.clip((px - ox) / voxel - wx0, 0.0, WINDOW - 1.0)
+        gy = jnp.clip((py - oy) / voxel - wy0, 0.0, WINDOW - 1.0)
+        gz = jnp.clip((pz - oz) / voxel - wz0, 0.0, WINDOW - 1.0)
         ix = gx.astype(jnp.int32)
         iy = gy.astype(jnp.int32)
         iz = gz.astype(jnp.int32)
-        flat = (iz * WINDOW + iy) * (WINDOW // 4) + (ix >> 2)
-        word = gatherlib.gather_rows_128(sdf_flat, flat)
-        b = ix & 3
+        brick = ((iz >> 4) << 2) | ((iy >> 4) << 1) | (ix >> 4)
+        return brick, ix & 15, iy & 15, iz & 15
+
+    def sample_sdf(px, py, pz):
+        """Point-sample the brick window at world position (clamped)."""
+        brick, lx, ly, lz = window_coords(px, py, pz)
+        flat = brick * 1024 + (lz * BRICK + ly) * 4 + (lx >> 2)
+        word = gatherlib.gather_rows_128(sdf_table, flat)
+        b = lx & 3
         v = jnp.where(
             b == 0, _unpack_s8(word, 0),
             jnp.where(b == 1, _unpack_s8(word, 1),
@@ -171,11 +228,9 @@ def _trace_kernel(
     hz = pz + dz * t_hit
 
     # albedo at hit (packed rgb8)
-    gax = jnp.clip((hx - ox) / voxel - bx, 0.0, WINDOW - 1.0).astype(jnp.int32)
-    gay = jnp.clip((hy - oy) / voxel - by, 0.0, WINDOW - 1.0).astype(jnp.int32)
-    gaz = jnp.clip((hz - oz) / voxel - bz, 0.0, WINDOW - 1.0).astype(jnp.int32)
+    abrick, alx, aly, alz = window_coords(hx, hy, hz)
     aw = gatherlib.gather_rows_128(
-        alb_flat, (gaz * WINDOW + gay) * WINDOW + gax)
+        alb_table, abrick * 4096 + (alz * BRICK + aly) * BRICK + alx)
     alb_r = ((aw >> 0) & 0xFF).astype(jnp.float32) / 255.0
     alb_g = ((aw >> 8) & 0xFF).astype(jnp.float32) / 255.0
     alb_b = ((aw >> 16) & 0xFF).astype(jnp.float32) / 255.0
@@ -202,16 +257,18 @@ def _trace_kernel(
 
     # sky fallback from the low-res sky map indexed by ray direction
     # (sampleSkyLut mapping, sky.inc:85-93)
-    theta = jnp.arccos(jnp.clip(-dy, -1.0, 1.0))
+    theta = _acos_approx(jnp.clip(-dy, -1.0, 1.0))
     ylut = theta / jnp.pi * 2.0 - 1.0
     ylut = jnp.sign(ylut) * jnp.sqrt(jnp.abs(ylut)) * 0.5 + 0.5
-    phi = -jnp.arctan2(dz, dx)
+    phi = -_atan2_approx(dz, dx)
     xlut = phi / (2.0 * jnp.pi) + 0.5
     sx = jnp.clip(xlut * sky_w, 0.0, sky_w - 1.0).astype(jnp.int32)
     sy = jnp.clip(ylut * sky_h, 0.0, sky_h - 1.0).astype(jnp.int32)
-    sky_flat_r = sky_ref[0].reshape(sky_h * sky_w // 128, 128)
-    sky_flat_g = sky_ref[1].reshape(sky_h * sky_w // 128, 128)
-    sky_flat_b = sky_ref[2].reshape(sky_h * sky_w // 128, 128)
+    # sky arrives pre-flattened (3, sky_h*sky_w/128, 128): Mosaic rejects
+    # lane-crossing reshapes inside the kernel
+    sky_flat_r = sky_ref[0]
+    sky_flat_g = sky_ref[1]
+    sky_flat_b = sky_ref[2]
     sidx = sy * sky_w + sx
     sky_r = gatherlib.gather_rows_128(sky_flat_r, sidx)
     sky_g = gatherlib.gather_rows_128(sky_flat_g, sidx)
@@ -289,21 +346,22 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, sky_h, sky_w), lambda ty, tx: (0, 0, 0),
+            pl.BlockSpec((3, sky_h * sky_w // 128, 128),
+                         lambda ty, tx: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((6, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WINDOW, WINDOW, WINDOW // 4), jnp.int32),
-            pltpu.VMEM((WINDOW, WINDOW, WINDOW), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((64, 128), jnp.int32),  # 8 sdf bricks
+            pltpu.VMEM((256, 128), jnp.int32),  # 8 albedo bricks
+            pltpu.SemaphoreType.DMA((16,)),
         ],
     )
     (out,) = pl.pallas_call(
@@ -312,7 +370,8 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
         out_shape=[jax.ShapeDtypeStruct((6, h, w), jnp.float32)],
         interpret=interpret,
     )(meta, world_pos, normal, ray_dirs, valid.astype(jnp.float32),
-      sky_lowres, sun, sdf_packed, albedo_packed)
+      sky_lowres.reshape(3, sky_h * sky_w // 128, 128), sun, sdf_packed,
+      albedo_packed)
     return out[0:4], out[4:6]
 
 
@@ -321,6 +380,9 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
 # --------------------------------------------------------------------------
 
 def _shift(p, dy, dx):
+    # clamp to the image size (filter radii can exceed tiny test images)
+    dy = max(-(p.shape[-2] - 1), min(p.shape[-2] - 1, dy))
+    dx = max(-(p.shape[-1] - 1), min(p.shape[-1] - 1, dx))
     out = jnp.roll(p, (-dy, -dx), axis=(-2, -1))
     if dy > 0:
         out = out.at[..., -dy:, :].set(out[..., -dy - 1:-dy, :])
@@ -355,42 +417,74 @@ def neighborhood_resolve(y_sh, cocg, normal, lin_depth):
     return acc_y / total[None], acc_c / total[None]
 
 
+_SPATIAL_TAPS = 16
+_SPATIAL_ROTATIONS = 4  # per-frame spiral rotation sets (lax.switch branches)
+_SPATIAL_NOMINAL_R = 16.0  # outermost-tap radius in pixels
+_GOLDEN_ANGLE = 2.39996323
+
+
+def _spiral_offsets(seed: int, rotation: int):
+    """Static integer spiral tap offsets (pure Python — computed at trace
+    time so the kernel sees only constant shifts; the round-1 version mixed
+    a tracer into the angle and crashed every jit of the GI path)."""
+    import math
+
+    rot = rotation * (2.0 * math.pi / (_SPATIAL_ROTATIONS * _SPATIAL_TAPS))
+    offs = []
+    for i in range(_SPATIAL_TAPS):
+        frac = (i + 0.5) / _SPATIAL_TAPS
+        ang = i * _GOLDEN_ANGLE + seed * 1.7 + rot
+        r = math.sqrt(frac) * _SPATIAL_NOMINAL_R
+        dx = int(round(math.cos(ang) * r))
+        dy = int(round(math.sin(ang) * r))
+        if dx == 0 and dy == 0:
+            dx = 1
+        offs.append((dy, dx))
+    return offs
+
+
 def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
                    radius_world: float, proj_scale, seed: int):
     """filterIndirectDiffuseSpatial.comp — tangent-plane-weighted disc blur.
 
-    TPU variant: 16 fixed spiral taps (integer pixel shifts scaled per frame)
-    instead of 32 random projected world-space taps; the Metro-Exodus
-    tangent-plane distance weighting is kept exactly. Dense shifts only.
+    TPU variant: 16 spiral taps at static integer pixel shifts (dense rolls,
+    no gathers) instead of 32 random projected world-space taps. Per-pixel
+    world radius (filterIndirectDiffuseSpatial.comp:60-66) is honored by
+    zero-weighting taps beyond each pixel's projected radius; per-frame
+    rotation selects one of 4 precomputed spiral rotations via lax.switch.
+    The Metro-Exodus tangent-plane distance weighting is kept exactly.
     """
     radius_px = jnp.clip(radius_world * proj_scale / jnp.maximum(
         lin_depth, 0.5), 1.0, 24.0)
-    mean_radius = jnp.mean(radius_px)
 
-    acc_y = jnp.zeros_like(y_sh)
-    acc_c = jnp.zeros_like(cocg)
-    total = jnp.zeros_like(lin_depth)
-    taps = 16
-    golden = 2.39996323
-    for i in range(taps):
-        frac = (i + 0.5) / taps
-        ang = i * golden + seed * 1.7 + frame_index.astype(jnp.float32) * 0.0
-        r01 = np.sqrt(frac)
-        # static integer offsets from a fixed spiral at a nominal radius;
-        # per-pixel radius variation is approximated by the weight falloff
-        dx = int(round(float(np.cos(ang)) * r01 * 10.0))
-        dy = int(round(float(np.sin(ang)) * r01 * 10.0))
-        if dx == 0 and dy == 0:
-            continue
-        p2 = _shift(world_pos, dy, dx)
-        dist_plane = jnp.abs(jnp.sum(normal * (p2 - world_pos), axis=0))
-        w = jnp.clip(0.25 / jnp.maximum(dist_plane, 1e-4), 0.0, 1.0) ** 2
-        # fade taps beyond the per-pixel radius
-        tap_r = np.hypot(dx, dy)
-        w = w * jnp.clip(radius_px / (tap_r + 1e-3), 0.0, 1.0)
-        acc_y = acc_y + _shift(y_sh, dy, dx) * w[None]
-        acc_c = acc_c + _shift(cocg, dy, dx) * w[None]
-        total = total + w
+    def make_branch(rotation: int):
+        offsets = _spiral_offsets(seed, rotation)
+
+        def branch(operands):
+            y_sh, cocg, normal, world_pos, radius_px = operands
+            acc_y = jnp.zeros_like(y_sh)
+            acc_c = jnp.zeros_like(cocg)
+            total = jnp.zeros_like(radius_px)
+            for dy, dx in offsets:
+                p2 = _shift(world_pos, dy, dx)
+                dist_plane = jnp.abs(
+                    jnp.sum(normal * (p2 - world_pos), axis=0))
+                w = jnp.clip(0.25 / jnp.maximum(dist_plane, 1e-4),
+                             0.0, 1.0) ** 2
+                # per-pixel radius: taps beyond radius_px fade to zero
+                tap_r = float(np.hypot(dx, dy))
+                w = w * jnp.clip(radius_px / tap_r, 0.0, 1.0) ** 2
+                acc_y = acc_y + _shift(y_sh, dy, dx) * w[None]
+                acc_c = acc_c + _shift(cocg, dy, dx) * w[None]
+                total = total + w
+            return acc_y, acc_c, total
+
+        return branch
+
+    acc_y, acc_c, total = jax.lax.switch(
+        frame_index % _SPATIAL_ROTATIONS,
+        [make_branch(k) for k in range(_SPATIAL_ROTATIONS)],
+        (y_sh, cocg, normal, world_pos, radius_px))
     acc_y = acc_y + y_sh
     acc_c = acc_c + cocg
     total = total + 1.0

@@ -35,8 +35,11 @@ from .raster import TILE_H, TILE_W
 
 MAX_CASCADES = 4  # sunShadowCascades.inc:4
 SHADOW_SAMPLE_RADIUS = 0.03  # world-space, sunShadowCascades.inc:5
-WINDOW_H = 32  # shadow-map window rows per tile
-WINDOW_W = 128
+# shadow-map window per tile; origins snap to the DMA alignment grid
+# (rows: multiples of 8, cols: multiples of 128) so the window is sized to
+# keep >= (12, 64) texels of margin around the tile-mean position
+WINDOW_H = 40
+WINDOW_W = 256
 
 # packed per-cascade row layout for the resolve kernel
 _ROW_F = 32  # 16 matrix + 2 scale + 1 split + pad -> 32 f32 per cascade
@@ -146,9 +149,10 @@ def _shadow_resolve_kernel(
     noise_ref,  # (TILE_H, TILE_W) blue noise in [0,1)
     maps_ref,  # (MAX_CASCADES, S, S) in ANY
     out_ref,  # (TILE_H, TILE_W)
-    window,  # scratch (WINDOW_H, WINDOW_W) f32
+    window,  # scratch (win_h, win_w) f32
     sem,
     *, cascade_count: int, taps: int, map_size: int,
+    win_h: int, win_w: int,
 ):
     valid = lindepth_ref[...] > 0.0
     lin_depth = lindepth_ref[...]
@@ -184,12 +188,15 @@ def _shadow_resolve_kernel(
             count = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
             mean_u = jnp.sum(jnp.where(mask, u, 0.0)) / count
             mean_v = jnp.sum(jnp.where(mask, v, 0.0)) / count
-            bx = jnp.clip(mean_u.astype(jnp.int32) - WINDOW_W // 2, 0,
-                          map_size - WINDOW_W)
-            by = jnp.clip(mean_v.astype(jnp.int32) - WINDOW_H // 2, 0,
-                          map_size - WINDOW_H)
+            # snap to the DMA alignment grid (see WINDOW_H/W comment)
+            bx = pl.multiple_of(jnp.clip(
+                (mean_u.astype(jnp.int32) - win_w // 4) // 128 * 128,
+                0, map_size - win_w), 128)
+            by = pl.multiple_of(jnp.clip(
+                (mean_v.astype(jnp.int32) - 12) // 8 * 8,
+                0, map_size - win_h), 8)
             dma = pltpu.make_async_copy(
-                maps_ref.at[c, pl.ds(by, WINDOW_H), pl.ds(bx, WINDOW_W)],
+                maps_ref.at[c, pl.ds(by, win_h), pl.ds(bx, win_w)],
                 window, sem)
             dma.start()
             dma.wait()
@@ -239,9 +246,11 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
     rows = rows.at[:, 16:18].set(cascade_scales)
     rows = rows.at[:, 18].set(splits)
 
+    win_h = min(WINDOW_H, map_size)
+    win_w = min(WINDOW_W, map_size)
     kernel = functools.partial(
         _shadow_resolve_kernel, cascade_count=cascade_count, taps=taps,
-        map_size=map_size)
+        map_size=map_size, win_h=win_h, win_w=win_w)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
@@ -254,14 +263,14 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WINDOW_H, WINDOW_W), jnp.float32),
+            pltpu.VMEM((win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -386,7 +386,8 @@ def sample_transmission_towards_sun(transmission_lut, sun_direction):
 
 
 def view_directions(width, height, cam_forward, cam_up, cam_right,
-                    tan_fov_half, aspect, grid_w=None, grid_h=None):
+                    tan_fov_half, aspect, grid_w=None, grid_h=None,
+                    ndc_y_scale=None, ndc_y_offset=None):
     """screenToWorld.inc:4-9 — per-pixel (or coarse-grid) view directions.
 
     Note the reference's sign conventions: V = -forward + tanFov*(ndc.y*up -
@@ -399,6 +400,9 @@ def view_directions(width, height, cam_forward, cam_up, cam_right,
     gh = grid_h or height
     xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw * 2.0 - 1.0
     ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh * 2.0 - 1.0
+    if ndc_y_scale is not None:
+        # split-frame band: map band-local ndc y to the full-frame frustum
+        ys = (ys - ndc_y_offset) / ndc_y_scale
     ndc_x = jnp.broadcast_to(xs[None, :], (gh, gw))
     ndc_y = jnp.broadcast_to(ys[:, None], (gh, gw))
     f = jnp.asarray(cam_forward, jnp.float32)

@@ -34,11 +34,13 @@ from . import gatherlib
 from .color_packing import pack_r11g11b10, unpack_r11g11b10
 from .raster import TILE_H, TILE_W
 
-# history window per tile: rows TILE_H + 2*8, cols TILE_W + 2*64
+# history window per tile: rows TILE_H + 2*8, cols TILE_W + 2*128
+# (x margin = 128 keeps every window DMA offset lane-aligned: the TPU DMA
+# engine requires minor-dim offsets divisible by 128)
 MARGIN_Y = 8
-MARGIN_X = 64
+MARGIN_X = 128
 WIN_H = TILE_H + 2 * MARGIN_Y  # 32
-WIN_W = TILE_W + 2 * MARGIN_X  # 256
+WIN_W = TILE_W + 2 * MARGIN_X  # 384
 
 
 def compute_motion(prev_ndc, valid, cur_jitter, prev_jitter, width, height):
@@ -128,8 +130,10 @@ def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem, *,
     tx = pl.program_id(1)
     h = history_ref.shape[0]
     w = history_ref.shape[1]
-    by = jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h)
-    bx = jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w)
+    by = pl.multiple_of(
+        jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h), 8)
+    bx = pl.multiple_of(
+        jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w), 128)
     dma = pltpu.make_async_copy(
         history_ref.at[pl.ds(by, win_h), pl.ds(bx, win_w)], window, sem)
     dma.start()
@@ -184,7 +188,7 @@ def history_resample(history_packed, motion, width, height,
         num_scalar_prefetch=0,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((2, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
@@ -220,6 +224,21 @@ def unpack_f16_pair(packed):
     return lo.astype(jnp.float32), hi.astype(jnp.float32)
 
 
+def _unpack_f16_pair_kernel(packed):
+    """In-kernel f16-pair decode via pure 32-bit integer math: Mosaic has no
+    16-bit vector bitcast, so widen the f16 bit pattern to f32 manually
+    (subnormals flush to zero; inf/nan never stored — history is NaN-scrubbed)
+    """
+    def decode(bits16):
+        em = bits16 & 0x7FFF
+        f32bits = (em << 13) + ((127 - 15) << 23)
+        mag = jax.lax.bitcast_convert_type(f32bits, jnp.float32)
+        val = jnp.where(em >= 0x0400, mag, 0.0)
+        return jnp.where((bits16 & 0x8000) != 0, -val, val)
+
+    return decode(packed & 0xFFFF), decode((packed >> 16) & 0xFFFF)
+
+
 def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
                               win_h: int, win_w: int, n_planes: int):
     """Like _history_tap_kernel but for N f16-pair-packed planes (used by the
@@ -228,8 +247,10 @@ def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
     tx = pl.program_id(1)
     h = planes_ref.shape[1]
     w = planes_ref.shape[2]
-    by = jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h)
-    bx = jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w)
+    by = pl.multiple_of(
+        jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h), 8)
+    bx = pl.multiple_of(
+        jnp.clip(tx * TILE_W - (win_w - TILE_W) // 2, 0, w - win_w), 128)
     dma = pltpu.make_async_copy(
         planes_ref.at[:, pl.ds(by, win_h), pl.ds(bx, win_w)], window, sem)
     dma.start()
@@ -249,9 +270,7 @@ def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
 
         def tap(xi, yi):
             packed = gatherlib.gather_rows_128(flat, yi * win_w + xi)
-            lo = (packed & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
-            hi = ((packed >> 16) & 0xFFFF).astype(jnp.uint16).view(jnp.float16)
-            return lo.astype(jnp.float32), hi.astype(jnp.float32)
+            return _unpack_f16_pair_kernel(packed)
 
         a00, b00 = tap(x0, y0)
         a01, b01 = tap(x0 + 1, y0)
@@ -290,7 +309,7 @@ def resample_packed_planes(planes_packed, motion, width, height,
         num_scalar_prefetch=0,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((2, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],

@@ -98,10 +98,14 @@ def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
 
     Mirrors froxelVolumeMaterial.comp:24-30: ndc from froxel uv, view ray
     through the pixel, world = cam + ray/dot(ray, fwd) * sliceDepth.
+    In split-frame band mode (cam carries ndc_y_scale/offset) the grid spans
+    only the band's sub-frustum so band froxels tile the full volume.
     """
     wf, hf, d = res_xyz
     xs = (jnp.arange(wf, dtype=jnp.float32) + sample_offset) / wf * 2.0 - 1.0
     ys = (jnp.arange(hf, dtype=jnp.float32) + sample_offset) / hf * 2.0 - 1.0
+    if "ndc_y_scale" in cam:
+        ys = (ys - cam["ndc_y_offset"]) / cam["ndc_y_scale"]
     zs = (jnp.arange(d, dtype=jnp.float32) + sample_offset) / d
     depth = froxel_uv_to_depth(zs, max_distance)  # (D,)
 

@@ -105,10 +105,11 @@ def render_frame(
     pw, ph = raster.pad_resolution(width, height)
     nty, ntx = ph // raster.TILE_H, pw // raster.TILE_W
 
+    # directionToVector already points TOWARDS the sun (y-down world: zenith
+    # is (0,-1,0)); the reference uses it unnegated everywhere
+    # (RenderFrontend.cpp:1159, triangle.frag:197, preExposeLights.comp:86)
     sun_dir = mathutils.direction_to_vector(
         jnp.asarray(settings.sun_direction_angles, jnp.float32))
-    # the reference's sunDirection points TOWARDS the sun in shading
-    sun_dir = -sun_dir
 
     # --- exposure from the previous frame's color (SURVEY 3.2 passes 1+3) ---
     histogram = exposure_ops.compute_histogram(state.prev_color, state.exposure)
@@ -121,7 +122,13 @@ def render_frame(
         jnp.asarray(settings.sun_illuminance, jnp.float32),
         jnp.asarray(settings.exposure_offset, jnp.float32),
         jnp.asarray(settings.exposure_adaption_speed, jnp.float32),
-        delta_time, float(width * height),
+        delta_time,
+        # in band mode the histogram is psum'd over all bands, so the
+        # percentile normalization needs the FULL frame's pixel count
+        float(width * (full_height or height)),
+        # frame 0 has a black prev-frame histogram and frame 1 the first
+        # real one: snap exposure for both instead of adapting at EV/s
+        camera_cut=state.frame_index <= 1,
     )
     sun_color = sky.sample_transmission_towards_sun(
         luts["transmission"], sun_dir)
@@ -145,17 +152,26 @@ def render_frame(
         jitter_px = jnp.asarray(_JITTER_TABLE, jnp.float32)[
             state.frame_index % 8]
         jitter_ndc = jitter_px / jnp.asarray([width, height], jnp.float32)
-        proj = proj.at[0, 2].set(jitter_ndc[0]).at[1, 2].set(jitter_ndc[1])
+        # .add, not .set: in band mode proj[1,2] carries the band's
+        # sub-frustum offset (band @ proj above) and must survive the jitter
+        proj = proj.at[0, 2].add(jitter_ndc[0]).at[1, 2].add(jitter_ndc[1])
     else:
         jitter_ndc = jnp.zeros(2, jnp.float32)
     view_proj = proj @ view
+
+    # --- CPU frustum cull analog (RenderFrontend.cpp:565-587) ---
+    from ..scene.frustum import visible_objects_clipspace
+
+    obj_visible = visible_objects_clipspace(
+        view_proj, scene["object_bb_min"], scene["object_bb_max"])
+    tri_visible = obj_visible[scene["tri_object"]]
 
     # --- G-buffer raster (passes 5, 12 geometry side) ---
     setup = raster.geometry_setup(
         scene["corners"], scene["corner_uvs"], scene["corner_normals"],
         scene["corner_tangents"], scene["corner_bitangents"],
         scene["tri_material"],
-        jnp.ones(scene["corners"].shape[0], bool),
+        tri_visible,
         view_proj, state.prev_view_projection, pw, ph, cull="back",
     )
     pairs = raster.build_pairs(setup, nty, ntx)
@@ -177,9 +193,14 @@ def render_frame(
     import math
 
     tan_fov_half = math.tan(math.radians(FOV_DEG) * 0.5)
-    aspect = width / height
+    aspect = width / (full_height or height)  # band height is not the frame
     if settings.shadows.cascade_count > 0:
         d_min, d_max = hiz.depth_min_max(depth)
+        if axis_name is not None:
+            # fit cascades to the FULL frame's depth range so every band
+            # produces identical light matrices (and matches single-device)
+            d_min = jax.lax.pmin(d_min, axis_name)
+            d_max = jax.lax.pmax(d_max, axis_name)
         cascade_mats, splits, cascade_scales = shadow.compute_cascade_info(
             d_min, d_max, cam["position"], cam["forward"], cam["up"],
             cam["right"], tan_fov_half, aspect, NEAR_PLANE, FAR_PLANE,
@@ -192,11 +213,15 @@ def render_frame(
         shadow_maps = []
         for c in range(shadow.MAX_CASCADES):
             if c < settings.shadows.cascade_count:
+                cas_visible = visible_objects_clipspace(
+                    cascade_mats[c], scene["object_bb_min"],
+                    scene["object_bb_max"],
+                    cull_z=False)[scene["tri_object"]]
                 s_setup = raster.geometry_setup(
                     scene["corners"], scene["corner_uvs"],
                     scene["corner_normals"], scene["corner_tangents"],
                     scene["corner_bitangents"], scene["tri_material"],
-                    jnp.ones(scene["corners"].shape[0], bool),
+                    cas_visible,
                     cascade_mats[c], cascade_mats[c], sres, sres,
                     cull="none", with_attrs=False,
                 )
@@ -336,7 +361,8 @@ def render_frame(
     # --- sky composite (pass 14) ---
     view_dirs = sky.view_directions(
         pw, ph, cam["forward"], cam["up"], cam["right"], tan_fov_half,
-        aspect)
+        aspect, ndc_y_scale=cam.get("ndc_y_scale"),
+        ndc_y_offset=cam.get("ndc_y_offset"))
     hdr = sky.apply_sky(
         hdr, valid, sky_lut, luts["transmission"], view_dirs, sun_dir,
         sun_strength_exposed)
@@ -471,11 +497,15 @@ def attach_global_sdf(scene_dict: dict, gsdf) -> dict:
     vol = np.asarray(gsdf.volume)
     alb = np.asarray(gsdf.albedo)
     d, h, w = vol.shape
-    from ..ops.sdfgi import WINDOW, pack_albedo_volume, quantize_sdf_volume
+    from ..ops.sdfgi import BRICK, WINDOW, pack_albedo_volume, \
+        quantize_sdf_volume
 
-    pd = max((-d) % 8, WINDOW - d if d < WINDOW else 0)
-    ph_ = max((-h) % 8, WINDOW - h if h < WINDOW else 0)
-    pw_ = max((-w) % 128, WINDOW - w if w < WINDOW else 0)
+    # pad each axis to a multiple of the brick size, and to at least one
+    # full 2x2x2-brick trace window
+    def pad_amount(n):
+        return max(WINDOW, (n + BRICK - 1) // BRICK * BRICK) - n
+
+    pd, ph_, pw_ = pad_amount(d), pad_amount(h), pad_amount(w)
     vol = np.pad(vol, ((0, pd), (0, ph_), (0, pw_)), constant_values=1e4)
     alb = np.pad(alb, ((0, pd), (0, ph_), (0, pw_), (0, 0)),
                  constant_values=0.5)

@@ -130,6 +130,40 @@ def compute_ortho_frustum_fitted_to_camera(camera_frustum: ViewFrustum,
     return _frustum_from_points(jnp.stack(pts, axis=0))
 
 
+def visible_objects_clipspace(view_proj, bb_min, bb_max, cull_z: bool = True):
+    """Conservative per-object culling against an arbitrary view-projection.
+
+    Same role as the reference's CPU frustum cull (RenderFrontend.cpp:565-587
+    + Culling.cpp:5-41) but expressed in clip space so it covers the main
+    camera, split-frame band sub-frusta, and ortho cascade matrices with one
+    code path inside jit. An AABB is culled iff all 8 corners are outside the
+    same clip half-space (|x|>w, |y|>w, z<0 or z>w with reverse-Z Vulkan
+    conventions); conservative exactly like the 8-corner plane-sign test.
+
+    bb_min/bb_max: (N, 3). Returns (N,) bool.
+    """
+    from .aabb import aabb_corners
+
+    corners = aabb_corners(bb_min, bb_max)  # (N, 8, 3)
+    flat = corners.reshape(-1, 3)
+    clip = flat @ view_proj[:3, :3].T + view_proj[:3, 3]
+    w = flat @ view_proj[3, :3] + view_proj[3, 3]
+    clip = clip.reshape(corners.shape[0], 8, 3)
+    w = w.reshape(corners.shape[0], 8)
+    out_l = jnp.all(clip[..., 0] < -w, axis=1)
+    out_r = jnp.all(clip[..., 0] > w, axis=1)
+    out_t = jnp.all(clip[..., 1] < -w, axis=1)
+    out_b = jnp.all(clip[..., 1] > w, axis=1)
+    outside = out_l | out_r | out_t | out_b
+    if cull_z:
+        # cull_z=False for shadow cascades: depth clamping keeps casters
+        # outside the fitted z-range relevant (lightMatrix.comp semantics)
+        out_n = jnp.all(clip[..., 2] < 0.0, axis=1)
+        out_f = jnp.all(clip[..., 2] > w, axis=1)
+        outside = outside | out_n | out_f
+    return ~outside
+
+
 def aabb_intersects_frustum(frustum: ViewFrustum, bb_min, bb_max):
     """Culling.cpp:5-41 vectorized: (N, 3) AABBs -> (N,) bool visibility.
 

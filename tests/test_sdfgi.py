@@ -43,18 +43,39 @@ def test_composite_matches_analytic_box():
     assert (g.volume[ring] > analytic[ring] - 0.3).all()
 
 
+def _pad16(vol, fill):
+    """Pad a volume to brick multiples (>= one 32^3 trace window)."""
+    def amount(n):
+        return max(32, (n + 15) // 16 * 16) - n
+
+    widths = [(0, amount(n)) for n in vol.shape[:3]]
+    widths += [(0, 0)] * (vol.ndim - 3)
+    return np.pad(vol, widths, constant_values=fill)
+
+
+def _unbrick_sdf(packed, dims):
+    """Invert quantize_sdf_volume's brick layout back to a (D,H,W) volume
+    of quantized distances (in voxel/8 units)."""
+    d, h, w = dims
+    nbz, nby, nbx = d // 16, h // 16, w // 16
+    words = np.asarray(packed).reshape(nbz, nby, nbx, 16, 16, 4)
+    words = words.transpose(0, 3, 1, 4, 2, 5).reshape(d, h, w // 4)
+    out = np.zeros((d, h, w), np.float32)
+    for byte in range(4):
+        v = (words >> (8 * byte)) & 0xFF
+        v = np.where(v > 127, v - 256, v).astype(np.float32) / 8.0
+        out[..., byte::4] = v
+    return out
+
+
 def test_quantize_roundtrip():
     g = _box_global_sdf()
-    d, h, w = g.volume.shape
-    w4 = (w + 3) // 4 * 4
-    vol = np.pad(g.volume, ((0, 0), (0, 0), (0, w4 - w)), constant_values=10)
+    vol = _pad16(g.volume, 10.0)
     packed = sdfgi.quantize_sdf_volume(jnp.asarray(vol), g.voxel_size)
-    for byte in range(4):
-        got = np.asarray(sdfgi._unpack_s8(packed, byte)) * g.voxel_size
-        want = np.clip(vol[..., byte::4], -127 / 8 * g.voxel_size,
-                       127 / 8 * g.voxel_size)
-        np.testing.assert_allclose(got, want[..., :got.shape[-1]],
-                                   atol=g.voxel_size / 8 + 1e-6)
+    assert packed.shape[1:] == (8, 128)
+    got = _unbrick_sdf(packed, vol.shape) * g.voxel_size
+    want = np.clip(vol, -127 / 8 * g.voxel_size, 127 / 8 * g.voxel_size)
+    np.testing.assert_allclose(got, want, atol=g.voxel_size / 8 + 1e-6)
 
 
 def test_trace_hits_box_and_sky():
@@ -79,15 +100,8 @@ def test_trace_hits_box_and_sky():
     sky = jnp.ones((3, 32, 64), jnp.float32) * jnp.asarray(
         [0.2, 0.4, 1.0])[:, None, None]
 
-    d, hh, ww = g.volume.shape
-    pw = (-ww) % 128
-    vol = np.pad(g.volume, ((0, max((-d) % 8, 32 - d if d < 32 else 0)),
-                            (0, max((-hh) % 8, 32 - hh if hh < 32 else 0)),
-                            (0, max(pw, 32 - ww if ww < 32 else 0))),
-                 constant_values=100.0)
-    alb = np.pad(g.albedo, ((0, vol.shape[0] - d), (0, vol.shape[1] - hh),
-                            (0, vol.shape[2] - ww), (0, 0)),
-                 constant_values=0.5)
+    vol = _pad16(g.volume, 100.0)
+    alb = _pad16(g.albedo, 0.5)
     packed = sdfgi.quantize_sdf_volume(jnp.asarray(vol), g.voxel_size)
     alb_packed = sdfgi.pack_albedo_volume(jnp.asarray(alb))
 

@@ -61,14 +61,29 @@ def test_taa_camera_cut_resets():
     np.testing.assert_allclose(np.asarray(out), 0.1, atol=0.02)
 
 
-def test_bloom_preserves_energy_roughly():
+def test_bloom_constant_image_exact_energy():
+    """The reference chain is additive: on a constant image c each of the
+    (mip_count-1) upsample passes contributes exactly c, so
+    out = c * (1 + (mip_count - 2) * strength). Borders are clamp-sampled so
+    a constant stays constant through every tap."""
+    c, s, mips = 0.5, 0.02, 4
+    img = jnp.full((3, 64, 256), c, jnp.float32)
+    out = np.asarray(bloom.compute_bloom(img, strength=s, blur_radius=1.5,
+                                         mip_count=mips))
+    expected = c * (1.0 + (mips - 2) * s)
+    np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_bloom_energy_matches_reference_inflation():
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((3, 64, 256)).astype(np.float32))
-    out = np.asarray(bloom.compute_bloom(img, strength=0.02, blur_radius=1.5,
-                                         mip_count=4))
+    s, mips = 0.02, 4
+    out = np.asarray(bloom.compute_bloom(img, strength=s, blur_radius=1.5,
+                                         mip_count=mips))
     assert out.shape == img.shape
-    # 2% lerp towards a blurred version: mean nearly unchanged
-    np.testing.assert_allclose(out.mean(), np.asarray(img).mean(), rtol=0.05)
+    # additive chain: mean inflated by ~(mips-2)*s (border effects aside)
+    expected = np.asarray(img).mean() * (1.0 + (mips - 2) * s)
+    np.testing.assert_allclose(out.mean(), expected, rtol=0.02)
 
 
 def test_bloom_spreads_bright_spot():
