@@ -65,6 +65,9 @@ class MeshData:
     texture_paths: TexturePaths = dataclasses.field(default_factory=TexturePaths)
     mean_albedo: np.ndarray = dataclasses.field(
         default_factory=lambda: np.full(3, 0.5, np.float32))
+    # in-memory texture images (procedural scenes / pre-loaded imports);
+    # NOT serialized to .plain — the binary format carries paths only
+    texture_images: object = None  # assets.textures.MaterialTextures | None
 
 
 @dataclasses.dataclass

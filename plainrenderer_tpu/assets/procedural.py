@@ -146,16 +146,66 @@ class AtriumConfig:
     seed: int = 7
 
 
-def build_atrium_scene(config: AtriumConfig | None = None) -> Scene:
+def procedural_texture(albedo, kind: str, size: int = 256, seed: int = 0):
+    """Deterministic material textures (checker/brick/marble) so the
+    flagship scene exercises the full texture pipeline (atlas, mips, normal
+    mapping) without shipping binary assets."""
+    from .textures import MaterialTextures
+
+    rng = np.random.default_rng(seed)
+    ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    base = np.asarray(albedo, np.float32)
+
+    if kind == "checker":
+        c = (((ys // (size // 8)) + (xs // (size // 8))) % 2).astype(
+            np.float32)
+        alb = base[None, None, :] * (0.7 + 0.6 * c)[..., None]
+        height = c
+    elif kind == "brick":
+        row = ys // (size // 8)
+        xoff = (xs + (row % 2) * (size // 8)) % (size // 4)
+        mortar = ((ys % (size // 8)) < 2) | (xoff < 2)
+        alb = np.where(mortar[..., None], base * 0.55, base)
+        tint = rng.normal(0, 0.05, (8, 4, 1)).astype(np.float32)
+        tint_full = np.repeat(np.repeat(tint, size // 8, 0), size // 4, 1)
+        alb = np.clip(alb * (1.0 + tint_full[:size, :size]), 0.0, 1.0)
+        height = 1.0 - mortar.astype(np.float32)
+    else:  # marble-ish bands
+        p = np.sin(xs / size * 12.0 + 3.0 * np.sin(ys / size * 6.0))
+        alb = base[None, None, :] * (0.8 + 0.25 * p)[..., None]
+        height = p.astype(np.float32) * 0.5 + 0.5
+
+    # normal map from the height field (central differences)
+    gx = np.roll(height, -1, 1) - np.roll(height, 1, 1)
+    gy = np.roll(height, -1, 0) - np.roll(height, 1, 0)
+    strength = 1.5
+    nz = np.ones_like(gx)
+    n = np.stack([-gx * strength, -gy * strength, nz], -1)
+    n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = (n[..., :2] * 0.5 + 0.5).astype(np.float32)
+    rough = np.clip(0.75 - 0.35 * height, 0.05, 1.0).astype(np.float32)
+    spec = np.stack([np.ones_like(rough), rough,
+                     np.zeros_like(rough)], -1)
+    return MaterialTextures(albedo=np.clip(alb, 0, 1).astype(np.float32),
+                            normal=normal, specular=spec)
+
+
+def build_atrium_scene(config: AtriumConfig | None = None,
+                       textured: bool = True) -> Scene:
     """Deterministic colonnaded-hall scene (the bench/test flagship)."""
     cfg = config or AtriumConfig()
     rng = np.random.default_rng(cfg.seed)
     meshes: list[MeshData] = []
     objects: list[ObjectBinary] = []
 
+    tex_kinds = ("checker", "brick", "marble")
+
     def add_object(mesh: MeshData, translate, albedo):
         mesh.mean_albedo = np.asarray(albedo, np.float32)
         mesh_index = len(meshes)
+        if textured:
+            mesh.texture_images = procedural_texture(
+                albedo, tex_kinds[mesh_index % 3], seed=mesh_index)
         meshes.append(mesh)
         m = np.eye(4, dtype=np.float32)
         m[:3, 3] = translate

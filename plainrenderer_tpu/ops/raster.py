@@ -251,6 +251,7 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
     assert (n_tiles + 1) * (t_count + 1) < 2 ** 31, "packed key overflow"
+    assert n_tiles_y <= 512 and n_tiles_x <= 128, "bbox packing overflow"
     ty0, tx0, ty1, tx1 = (setup.tile_bbox[:, i] for i in range(4))
     span_y = jnp.where(setup.valid, ty1 - ty0 + 1, 0)
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
@@ -259,7 +260,11 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     ends = jnp.cumsum(span)  # inclusive prefix counts
     offsets = ends - span
     total = ends[-1]
-    p_max = max(GROUP, int(t_count * pairs_per_tri) // GROUP * GROUP)
+    # slack scales with BOTH triangle count (small tris) and tile count
+    # (a handful of huge floor/wall triangles can each cover the whole
+    # grid — at low triangle counts they dominate the pair budget)
+    p_max = int(t_count * pairs_per_tri) + 4 * n_tiles
+    p_max = max(GROUP, (p_max + GROUP - 1) // GROUP * GROUP)
     overflow = jnp.maximum(total - p_max, 0)
 
     j = jnp.arange(p_max, dtype=jnp.int32)
@@ -271,12 +276,21 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     tri = jnp.clip(
         jnp.searchsorted(ends, j, side="right", method="sort"),
         0, t_count - 1).astype(jnp.int32)
+    # one packed-geometry gather instead of four (XLA gathers cost per
+    # element): ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]
+    geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
+                   + jnp.minimum(span_y, 255))
+    g = geom_packed[tri]
+    g_span_y = g & 255
+    g_span_x = (g >> 8) & 127
+    g_tx0 = (g >> 15) & 127
+    g_ty0 = g >> 22
     local = j - offsets[tri]
-    in_use = (j < total) & (local >= 0) & (local < span[tri])
-    sxw = jnp.maximum(span_x[tri], 1)
+    in_use = (j < total) & (local >= 0) & (local < g_span_x * g_span_y)
+    sxw = jnp.maximum(g_span_x, 1)
     dy = local // sxw
     dx = local - dy * sxw
-    tile = (ty0[tri] + dy) * n_tiles_x + (tx0[tri] + dx)
+    tile = (g_ty0 + dy) * n_tiles_x + (g_tx0 + dx)
 
     key = jnp.where(in_use, tile * (t_count + 1) + tri,
                     jnp.int32(n_tiles * (t_count + 1)))
@@ -298,14 +312,30 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     # minor multiples of the sublane packing, minor multiples of 128), so
     # every tile's segment must start at a multiple of GROUP=128
     aligned_start = (jnp.cumsum(tile_groups) - tile_groups) * GROUP
-    p_aligned = p_max + n_tiles * (GROUP - 1)  # static worst case
+    p_aligned = (p_max + n_tiles * (GROUP - 1) + GROUP - 1) \
+        // GROUP * GROUP  # static worst case, whole GROUP blocks
     ja = jnp.arange(p_aligned, dtype=jnp.int32)
+    # aligned segments are whole GROUP blocks, so tile ownership is constant
+    # within each block: search only once per block, then broadcast (the
+    # per-element searchsorted here measured ~7 ms at 1080p)
+    blocks = jnp.arange(p_aligned // GROUP, dtype=jnp.int32) * GROUP
     # among tiles sharing a start (zero-group ties) only the last can own it
-    tile_of_j = (jnp.searchsorted(aligned_start, ja, side="right",
-                                  method="sort") - 1).astype(jnp.int32)
-    local_a = ja - aligned_start[tile_of_j]
-    in_range = local_a < capped[tile_of_j]
-    src = jnp.clip(raw_start[tile_of_j] + local_a, 0, p_max - 1)
+    tile_of_block = (jnp.searchsorted(aligned_start, blocks, side="right")
+                     - 1).astype(jnp.int32)
+
+    # per-tile lookups happen at BLOCK granularity (few thousand gathers,
+    # not p_aligned): pack (raw_start - aligned_start) with capped[12b]
+    n_blocks = p_aligned // GROUP
+    delta_packed = ((raw_start - aligned_start + p_aligned) * 4096
+                    + capped)
+    tp = jnp.broadcast_to(
+        delta_packed[tile_of_block][:, None], (n_blocks, GROUP)).reshape(-1)
+    a_start = jnp.broadcast_to(
+        aligned_start[tile_of_block][:, None], (n_blocks, GROUP)).reshape(-1)
+    t_capped = tp & 4095
+    src_unclipped = ja + (tp >> 12) - p_aligned  # raw_start + local
+    in_range = (ja - a_start) < t_capped
+    src = jnp.clip(src_unclipped, 0, p_max - 1)
     pair_tri = jnp.where(in_range, sorted_tri[src], t_count)
 
     return PairLists(

@@ -119,12 +119,14 @@ def dilate_motion(motion, depth):
     return best
 
 
-def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem, *,
-                        win_h: int, win_w: int):
-    """Per tile: DMA a packed-history window, one bilinear tap per pixel.
+def _history_tap_kernel(history_ref, coords_ref, out_ref, window,
+                        sem, *, win_h: int, win_w: int, n_taps: int):
+    """Per tile: DMA a packed-history window, K bilinear taps per pixel.
 
-    coords_ref (2, TILE_H, TILE_W): absolute source pixel coords (fractional).
-    out (4, TILE_H, TILE_W): rgb + in-window flag.
+    coords_ref (2*K, TILE_H, TILE_W): absolute source pixel coords per tap
+    (the bicubic history sampler variants are sets of bilinear taps at
+    per-pixel positions). out (3*K + 1, TILE_H, TILE_W): rgb per tap +
+    in-window flag (computed from tap 0 with a 2.5-texel margin).
     """
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -139,61 +141,60 @@ def _history_tap_kernel(history_ref, coords_ref, out_ref, window, sem, *,
     dma.start()
     dma.wait()
 
-    sx = coords_ref[0] - bx.astype(jnp.float32)
-    sy = coords_ref[1] - by.astype(jnp.float32)
-    in_window = (
-        (sx >= 0.5) & (sx <= win_w - 1.5) & (sy >= 0.5) & (sy <= win_h - 1.5))
-    x0 = jnp.clip(jnp.floor(sx - 0.5), 0, win_w - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sy - 0.5), 0, win_h - 2).astype(jnp.int32)
-    fx = jnp.clip(sx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
-    fy = jnp.clip(sy - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
+    sx0 = coords_ref[0] - bx.astype(jnp.float32)
+    sy0 = coords_ref[1] - by.astype(jnp.float32)
+    margin = 2.5  # covers the widest (bicubic) tap pattern
+    in_window = ((sx0 >= margin) & (sx0 <= win_w - margin)
+                 & (sy0 >= margin) & (sy0 <= win_h - margin))
 
     # window is (win_h, win_w) int32 == (win_h * win_w / 128, 128) flat rows
     flat = window[...].reshape(win_h * win_w // 128, 128)
 
-    def tap(xi, yi):
-        packed = gatherlib.gather_rows_128(flat, yi * win_w + xi)
-        return unpack_r11g11b10(packed)
+    for k in range(n_taps):
+        sx = coords_ref[2 * k] - bx.astype(jnp.float32)
+        sy = coords_ref[2 * k + 1] - by.astype(jnp.float32)
+        x0 = jnp.clip(jnp.floor(sx - 0.5), 0, win_w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(sy - 0.5), 0, win_h - 2).astype(jnp.int32)
+        fx = jnp.clip(sx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(sy - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
-    c00 = tap(x0, y0)
-    c01 = tap(x0 + 1, y0)
-    c10 = tap(x0, y0 + 1)
-    c11 = tap(x0 + 1, y0 + 1)
-    rgb = (
-        c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
-        + c10 * (1 - fx) * fy + c11 * fx * fy)
-    out_ref[0:3] = rgb
-    out_ref[3] = in_window.astype(jnp.float32)
+        def tap(xi, yi):
+            packed = gatherlib.gather_rows_128(flat, yi * win_w + xi)
+            return unpack_r11g11b10(packed)
+
+        c00 = tap(x0, y0)
+        c01 = tap(x0 + 1, y0)
+        c10 = tap(x0, y0 + 1)
+        c11 = tap(x0 + 1, y0 + 1)
+        out_ref[3 * k:3 * k + 3] = (
+            c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy + c11 * fx * fy)
+    out_ref[3 * n_taps] = in_window.astype(jnp.float32)
 
 
-def history_resample(history_packed, motion, width, height,
-                     interpret: bool = False):
-    """Bilinear history fetch at uv+motion. Returns (rgb (3,H,W), ok (H,W)).
+def resample_history_taps(history_packed, coords, interpret: bool = False):
+    """K bilinear taps at per-pixel absolute coords (2K, H, W).
 
-    history_packed (H, W) int32 R11G11B10.
-    """
+    Returns (rgb (3K, H, W), ok (H, W))."""
     h, w = history_packed.shape
     win_h = min(WIN_H, h)
     win_w = min(WIN_W, w)
     nty, ntx = h // TILE_H, w // TILE_W
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-    # motion in UV units of the LOGICAL resolution
-    coords = jnp.stack([
-        jnp.broadcast_to(xs[None, :], (h, w)) + motion[0] * width,
-        jnp.broadcast_to(ys[:, None], (h, w)) + motion[1] * height,
-    ])
-    kernel = functools.partial(_history_tap_kernel, win_h=win_h, win_w=win_w)
+    n_taps = coords.shape[0] // 2
+    kernel = functools.partial(_history_tap_kernel, win_h=win_h,
+                               win_w=win_w, n_taps=n_taps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((2, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            pl.BlockSpec((2 * n_taps, TILE_H, TILE_W),
+                         lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((4, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            pl.BlockSpec((3 * n_taps + 1, TILE_H, TILE_W),
+                         lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -204,10 +205,29 @@ def history_resample(history_packed, motion, width, height,
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((4, h, w), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((3 * n_taps + 1, h, w), jnp.float32)],
         interpret=interpret,
     )(history_packed, coords)
-    return out[0:3], out[3] > 0.5
+    return out[0:3 * n_taps], out[3 * n_taps] > 0.5
+
+
+def _base_coords(motion, width, height, h, w):
+    """Reprojected absolute pixel coords (2, H, W) at uv + motion."""
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    # motion in UV units of the LOGICAL resolution
+    return jnp.stack([
+        jnp.broadcast_to(xs[None, :], (h, w)) + motion[0] * width,
+        jnp.broadcast_to(ys[:, None], (h, w)) + motion[1] * height,
+    ])
+
+
+def history_resample(history_packed, motion, width, height,
+                     interpret: bool = False):
+    """Single bilinear history fetch at uv+motion -> ((3,H,W), ok)."""
+    h, w = history_packed.shape
+    coords = _base_coords(motion, width, height, h, w)
+    return resample_history_taps(history_packed, coords, interpret=interpret)
 
 
 def pack_f16_pair(a, b):
@@ -332,17 +352,181 @@ def resample_packed_planes(planes_packed, motion, width, height,
     return out[:2 * n_planes], out[2 * n_planes] > 0.5
 
 
+def temporal_supersampling(
+    color, prev_color_packed, prev_lum_depth_packed, motion, depth,
+    near, far, width, height, camera_cut, *,
+    use_tonemapping: bool = True, interpret: bool = False,
+):
+    """temporalSupersampling.comp — the optional pre-pass that blends 50%
+    of the reprojected LAST frame into the current one before the main TAA
+    filter (TAA.cpp:85-137).
+
+    Acceptance mirrors the Filmic-SMAA tests: 2x2-block min-luminance
+    contrast difference < 0.5 (p.126) and closest-neighborhood linear-depth
+    difference < 1.0 (p.99), plus offscreen rejection. The last-frame
+    color/luminance/depth arrive packed (r11g11b10 color; (lum, linear
+    depth) f16 pair) and are fetched with the windowed resample kernels.
+
+    Returns (color', luminance_of_input) — the luminance feeds next frame's
+    state (colorToLuminance analog).
+    """
+    cur_lum = luminance(color, axis=0)
+    motion_d = dilate_motion(motion, depth)
+
+    last_rgb, in_window = history_resample(
+        prev_color_packed, motion_d, width, height, interpret=interpret)
+    ld, ok2 = resample_packed_planes(
+        prev_lum_depth_packed[None], motion_d, width, height,
+        interpret=interpret)
+    last_lum, last_lin_depth = ld[0], ld[1]
+
+    cur = _reversible_tonemap(color) if use_tonemapping else color
+    last = _reversible_tonemap(last_rgb) if use_tonemapping else last_rgb
+
+    # 2x2 block luminance contrast (minAbsoluteDifference sums)
+    def block(p):
+        return [p, _shift(p, 0, -1), _shift(p, -1, 0), _shift(p, -1, -1)]
+
+    cur_b = block(cur_lum)
+    last_b = block(last_lum)
+    last_max = jnp.maximum(
+        jnp.maximum(jnp.abs(last_b[0]), jnp.abs(last_b[1])),
+        jnp.maximum(jnp.abs(last_b[2]), jnp.abs(last_b[3])))
+    contrast = sum(jnp.abs(c) - last_max for c in cur_b)
+    contrast_ok = contrast < 0.5
+
+    # closest-neighborhood linear depth (reverse-Z max)
+    from .shadow import linearize_depth
+
+    closest = depth
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            closest = jnp.maximum(closest, _shift(depth, dy, dx))
+    cur_lin = linearize_depth(closest, near, far)
+    depth_ok = jnp.abs(cur_lin - last_lin_depth) < 1.0
+
+    accept = contrast_ok & depth_ok & in_window & ok2 & ~camera_cut
+    blend = jnp.where(accept, 0.5, 0.0)
+    out = cur + (last - cur) * blend[None]
+    if use_tonemapping:
+        out = _reversible_tonemap_inverse(out)
+    out = jnp.where(jnp.isnan(out), color, out)
+    return out, cur_lum
+
+
+def _cr_weights(f):
+    """Catmull-Rom 1D weights for the 4-texel footprint at fraction f."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
+def _sample_history(history_packed, motion, width, height, tech: int,
+                    nb, interpret: bool):
+    """bicubicSampling.inc — the 5 history sampler variants, each built
+    from per-pixel bilinear taps of the windowed resample kernel.
+
+    tech: 0 bilinear, 1 bicubic 16-tap, 2 bicubic 9-tap, 3 bicubic 5-tap,
+    4 bicubic 1-tap (CoD: 1 history tap + current-frame neighborhood
+    corner reconstruction, bicubicSampling.inc:151-183).
+    """
+    h, w = history_packed.shape
+    base = _base_coords(motion, width, height, h, w)
+    bx, by = base[0], base[1]
+    tx = jnp.floor(bx - 0.5) + 0.5
+    ty = jnp.floor(by - 0.5) + 0.5
+    fx = bx - tx
+    fy = by - ty
+    w0x, w1x, w2x, w3x = _cr_weights(fx)
+    w0y, w1y, w2y, w3y = _cr_weights(fy)
+    wbx, wby = w1x + w2x, w1y + w2y
+    tox = tx + w2x / jnp.maximum(wbx, 1e-6)
+    toy = ty + w2y / jnp.maximum(wby, 1e-6)
+
+    if tech == 0:  # bilinear
+        return resample_history_taps(history_packed, base,
+                                     interpret=interpret)
+
+    if tech == 1:  # full 16-tap (taps land on texel centers)
+        px = [tx - 1, tx, tx + 1, tx + 2]
+        py = [ty - 1, ty, ty + 1, ty + 2]
+        wx = [w0x, w1x, w2x, w3x]
+        wy = [w0y, w1y, w2y, w3y]
+        coords = jnp.concatenate(
+            [jnp.stack([px[i], py[j]]) for j in range(4) for i in range(4)])
+        taps, ok = resample_history_taps(history_packed, coords,
+                                         interpret=interpret)
+        hist = jnp.zeros((3, h, w), jnp.float32)
+        k = 0
+        for j in range(4):
+            for i in range(4):
+                hist = hist + taps[3 * k:3 * k + 3] * (wx[i] * wy[j])[None]
+                k += 1
+        return hist, ok
+
+    if tech == 2:  # 9-tap (corner-combined bilinear positions)
+        px = [tx - 1, tox, tx + 2]
+        py = [ty - 1, toy, ty + 2]
+        wx = [w0x, wbx, w3x]
+        wy = [w0y, wby, w3y]
+        coords = jnp.concatenate(
+            [jnp.stack([px[i], py[j]]) for j in range(3) for i in range(3)])
+        taps, ok = resample_history_taps(history_packed, coords,
+                                         interpret=interpret)
+        hist = jnp.zeros((3, h, w), jnp.float32)
+        k = 0
+        for j in range(3):
+            for i in range(3):
+                hist = hist + taps[3 * k:3 * k + 3] * (wx[i] * wy[j])[None]
+                k += 1
+        return hist, ok
+
+    if tech == 3:  # 5-tap cross, renormalized (Filmic SMAA p.90)
+        pts = [(tox, ty - 1, wbx * w0y), (tx - 1, toy, w0x * wby),
+               (tox, toy, wbx * wby), (tx + 2, toy, w3x * wby),
+               (tox, ty + 2, wbx * w3y)]
+        coords = jnp.concatenate([jnp.stack([p, q]) for p, q, _ in pts])
+        taps, ok = resample_history_taps(history_packed, coords,
+                                         interpret=interpret)
+        hist = jnp.zeros((3, h, w), jnp.float32)
+        total = jnp.zeros((h, w), jnp.float32)
+        for k, (_, _, wk) in enumerate(pts):
+            hist = hist + taps[3 * k:3 * k + 3] * wk[None]
+            total = total + wk
+        return hist / jnp.maximum(total, 1e-6)[None], ok
+
+    # tech 4: CoD 1-tap — single bilinear tap at the combined position +
+    # cross reconstruction from the CURRENT frame's neighborhood
+    coords = jnp.stack([tox, toy])
+    taps, ok = resample_history_taps(history_packed, coords,
+                                     interpret=interpret)
+    center = nb[1][1]
+    total = (w0x * wby + wbx * w0y + wbx * wby + wbx * w3y + w3x * wby)
+    hist = (
+        (taps + nb[1][0] - center) * (w0x * wby)[None]
+        + (taps + nb[0][1] - center) * (wbx * w0y)[None]
+        + taps * (wbx * wby)[None]
+        + (taps + nb[2][1] - center) * (wbx * w3y)[None]
+        + (taps + nb[1][2] - center) * (w3x * wby)[None]
+    ) / jnp.maximum(total, 1e-6)[None]
+    return hist, ok
+
+
 def temporal_filter(
     color, history_packed, motion, depth, jitter_px,
     camera_cut, width, height, *,
     use_clipping: bool = True,
     use_motion_dilation: bool = True,
     use_tonemapping: bool = True,
+    history_sampling_tech: int = 4,
     interpret: bool = False,
 ):
     """temporalFilter.comp main() — returns (output (3,H,W), new history
-    packed (H,W) int32). history_sampling: Bicubic1Tap via the windowed
-    bilinear tap + current-frame neighborhood correction."""
+    packed (H,W) int32)."""
     if use_motion_dilation:
         motion = dilate_motion(motion, depth)
 
@@ -364,35 +548,15 @@ def temporal_filter(
             nb_min = jnp.minimum(nb_min, nb[y][x])
             nb_max = jnp.maximum(nb_max, nb[y][x])
 
-    hist_rgb, in_window = history_resample(
-        history_packed, motion, width, height, interpret=interpret)
-    if use_tonemapping:
-        hist_rgb = _reversible_tonemap(hist_rgb)
-
-    # Bicubic1Tap corner reconstruction (bicubicSampling.inc:151-183):
-    # approximate the 4 cross taps by history + current-frame differences
-    fx = jnp.mod(motion[0] * width, 1.0)
-    fy = jnp.mod(motion[1] * height, 1.0)
-
-    def cr_weights(f):
-        f2 = f * f
-        f3 = f2 * f
-        w0 = -0.5 * f3 + f2 - 0.5 * f
-        w1 = 1.5 * f3 - 2.5 * f2 + 1.0
-        w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
-        w3 = 0.5 * f3 - 0.5 * f2
-        return w0, w1 + w2, w3
-
-    w0x, wbx, w3x = cr_weights(fx)
-    w0y, wby, w3y = cr_weights(fy)
-    total = (w0x * wby + wbx * w0y + wbx * wby + wbx * w3y + w3x * wby)
-    hist = (
-        (hist_rgb + nb[1][0] - center) * (w0x * wby)[None]
-        + (hist_rgb + nb[0][1] - center) * (wbx * w0y)[None]
-        + hist_rgb * (wbx * wby)[None]
-        + (hist_rgb + nb[2][1] - center) * (wbx * w3y)[None]
-        + (hist_rgb + nb[1][2] - center) * (w3x * wby)[None]
-    ) / jnp.maximum(total, 1e-6)[None]
+    # NOTE: the 1-tap reconstruction (tech 4) uses the TONEMAPPED current
+    # neighborhood, so the history tap must be tonemapped before the
+    # correction; the bilinear tap itself commutes (monotone per pixel)
+    # closely enough at history granularity
+    hist_raw, in_window = _sample_history(
+        history_packed, motion, width, height, history_sampling_tech,
+        nb, interpret=interpret)
+    hist = _reversible_tonemap(hist_raw) if use_tonemapping else hist_raw
+    hist_pre_clip = hist  # contrast change is measured on unclipped history
 
     if use_clipping:
         # clipAABB (temporalReprojection.inc:8-30)
@@ -417,7 +581,7 @@ def temporal_filter(
         return total
 
     cur_contrast = contrast(nb)
-    hist_nb = _neighborhood(hist_rgb)
+    hist_nb = _neighborhood(hist_pre_clip)
     last_contrast = contrast(hist_nb)
     contrast_change = jnp.clip(jnp.abs(cur_contrast - last_contrast), 0.0, 1.0)
     blend = 0.13 + (0.03 - 0.13) * contrast_change

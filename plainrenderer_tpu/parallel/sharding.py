@@ -85,7 +85,7 @@ def sharded_frame_fn(settings: RenderSettings, n_devices: int,
                       P(), P(), P(), P()),
             out_specs=(P(axis), jax.tree.map(lambda _: P(axis),
                                              state_stacked)),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state_stacked, scene, cam, luts, dt)
 

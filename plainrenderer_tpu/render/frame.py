@@ -188,6 +188,32 @@ def render_frame(
     albedo = material[0:3]
     rough_metal = jnp.stack(
         [jnp.ones_like(material[3]), material[3], material[4]], axis=0)
+    normal_ts = jnp.zeros((2, ph, pw), jnp.float32)
+
+    if "tex_word0" in scene:
+        # per-pixel material textures (triangle.frag:177-201 analog);
+        # mip bias = log2(0.5) with TAA supersampling (Filmic SMAA p.117,
+        # RenderFrontend.cpp:1176-1181)
+        from ..assets.textures import MAX_MIPS
+        from ..ops import texture as texture_ops
+
+        bias = -1.0 if (settings.taa.enabled
+                        and settings.taa.use_mip_bias) else 0.0
+        ts = texture_ops.sample_materials(
+            gbuf[raster._CH_U:raster._CH_U + 2],
+            gbuf[raster._CH_DUDX:raster._CH_DUDX + 4],
+            gbuf[raster._CH_MAT], valid,
+            scene["mat_tex"], scene["tex_info"],
+            scene["tex_word0"], scene["tex_word1"],
+            n_mips=MAX_MIPS, mip_bias=bias, interpret=interpret)
+        tex_ok = ts[8] > 0.5
+        albedo = jnp.where(tex_ok[None], ts[0:3], albedo)
+        normal_ts = jnp.where(tex_ok[None], ts[4:6], normal_ts)
+        rough_metal = jnp.stack([
+            jnp.ones_like(material[3]),
+            jnp.where(tex_ok, ts[6], material[3]),
+            jnp.where(tex_ok, ts[7], material[4]),
+        ], axis=0)
 
     # --- sun shadow cascades (passes 6-8: hi-Z -> lightMatrix -> render) ---
     import math
@@ -347,7 +373,7 @@ def render_frame(
         bitangent=gbuf[raster._CH_B:raster._CH_B + 3],
         valid=valid,
         albedo_srgb_linear=albedo,
-        normal_ts=jnp.zeros((2, ph, pw), jnp.float32),
+        normal_ts=normal_ts,
         specular=rough_metal,
         sun_direction=sun_dir,
         sun_color=sun_color,
@@ -423,18 +449,33 @@ def render_frame(
 
     scene_color = hdr  # pre-TAA color feeds next frame's histogram
 
-    # --- TAA (pass 15) ---
+    # --- TAA (pass 15): optional supersampling pre-pass + main filter ---
+    new_taa_luminance = state.taa_luminance
     if settings.taa.enabled:
         motion = taa_ops.compute_motion(
             gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
             state.prev_jitter, width, height)
         camera_cut = state.frame_index == 0
+        if settings.taa.use_separate_supersampling:
+            from ..ops.color_packing import pack_r11g11b10
+            from ..ops.shadow import linearize_depth
+
+            prev_packed = pack_r11g11b10(state.prev_color)
+            prev_ld = taa_ops.pack_f16_pair(
+                state.taa_luminance,
+                linearize_depth(state.prev_depth, NEAR_PLANE, FAR_PLANE))
+            hdr, new_taa_luminance = taa_ops.temporal_supersampling(
+                hdr, prev_packed, prev_ld, motion, depth,
+                NEAR_PLANE, FAR_PLANE, width, height, camera_cut,
+                use_tonemapping=settings.taa.supersample_use_tonemapping,
+                interpret=interpret)
         hdr, taa_history = taa_ops.temporal_filter(
             hdr, state.taa_history, motion, depth, jitter_px, camera_cut,
             width, height,
             use_clipping=settings.taa.use_clipping,
             use_motion_dilation=settings.taa.use_motion_vector_dilation,
             use_tonemapping=settings.taa.filter_use_tonemapping,
+            history_sampling_tech=settings.taa.history_sampling_tech,
             interpret=interpret,
         )
     else:
@@ -455,6 +496,7 @@ def render_frame(
         exposure=new_exposure,
         prev_color=scene_color,
         prev_depth=depth,
+        taa_luminance=new_taa_luminance,
         taa_history=taa_history,
         gi_history=new_gi_history,
         volumetric_history=new_vol_history,
@@ -466,7 +508,7 @@ def render_frame(
 
 def scene_to_device(rs) -> dict:
     """RenderScene (numpy) -> device array dict consumed by render_frame."""
-    return {
+    scene = {
         "corners": jnp.asarray(rs.corners),
         "corner_uvs": jnp.asarray(rs.corner_uvs),
         "corner_normals": jnp.asarray(rs.corner_normals),
@@ -478,6 +520,12 @@ def scene_to_device(rs) -> dict:
         "object_bb_min": jnp.asarray(rs.object_bb_min),
         "object_bb_max": jnp.asarray(rs.object_bb_max),
     }
+    if rs.tex_word0 is not None:
+        scene["mat_tex"] = jnp.asarray(rs.mat_tex)
+        scene["tex_info"] = jnp.asarray(rs.tex_info)
+        scene["tex_word0"] = jnp.asarray(rs.tex_word0)
+        scene["tex_word1"] = jnp.asarray(rs.tex_word1)
+    return scene
 
 
 @functools.lru_cache(maxsize=4)

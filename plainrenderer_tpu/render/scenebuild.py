@@ -36,6 +36,11 @@ class RenderScene:
     sdf_paths: list  # per-object SDF volume path ('' if none)
     triangle_count: int
     object_count: int
+    # brick-pooled material textures (assets/textures.py); None = untextured
+    mat_tex: np.ndarray | None = None  # (M,) i32 material -> texture (-1)
+    tex_info: np.ndarray | None = None  # (n_tex * n_mips, 4) i32
+    tex_word0: np.ndarray | None = None  # (NB, 8, 128) i32
+    tex_word1: np.ndarray | None = None  # (NB, 8, 128) i32
 
 
 def _mesh_arrays(mesh) -> dict:
@@ -113,6 +118,32 @@ def build_render_scene(scene: Scene | SceneBinary,
         paths = getattr(mesh, "texture_paths", None)
         sdf_paths.append(paths.sdf if paths is not None else "")
 
+    # material textures: one pool entry per unique mesh that carries images
+    # or texture paths (RenderFrontend.cpp:958-1029's load-and-bind analog)
+    from ..assets import textures as tex_mod
+
+    mesh_tex_index: dict[int, int] = {}
+    tex_sets: list = []
+    for obj in scene.objects:
+        mi = obj.mesh_index
+        if mi in mesh_tex_index:
+            continue
+        mesh = scene.meshes[mi]
+        images = getattr(mesh, "texture_images", None)
+        if images is None:
+            paths = getattr(mesh, "texture_paths", None)
+            if paths is not None and paths.albedo:
+                images = _load_texture_images(paths)
+        if images is not None:
+            mesh_tex_index[mi] = len(tex_sets)
+            tex_sets.append(images)
+        else:
+            mesh_tex_index[mi] = -1
+
+    mat_tex = np.asarray(
+        [mesh_tex_index[obj.mesh_index] for obj in scene.objects], np.int32)
+    pool = tex_mod.build_texture_pool(tex_sets) if tex_sets else None
+
     corners = np.concatenate(corners)
     t_count = corners.shape[0]
     pad = (-t_count) % pad_triangles_to
@@ -138,4 +169,29 @@ def build_render_scene(scene: Scene | SceneBinary,
         sdf_paths=sdf_paths,
         triangle_count=t_count,
         object_count=len(scene.objects),
+        mat_tex=mat_tex,
+        tex_info=pool.info if pool is not None else None,
+        tex_word0=pool.word0 if pool is not None else None,
+        tex_word1=pool.word1 if pool is not None else None,
+    )
+
+
+def _load_texture_images(paths):
+    """Load a mesh's texture files (stb analog via assets.image_io)."""
+    from ..assets import image_io
+    from ..assets.textures import MaterialTextures
+
+    def load(p):
+        if not p:
+            return None
+        try:
+            img = image_io.load_image(p)
+        except (OSError, ValueError):
+            return None
+        return np.asarray(img, np.float32) / 255.0
+
+    return MaterialTextures(
+        albedo=load(paths.albedo),
+        normal=load(paths.normal),
+        specular=load(paths.specular),
     )

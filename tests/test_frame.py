@@ -26,7 +26,9 @@ def build_test_scene():
         columns_per_row=2, floor_subdiv=2, box_count=3, box_subdiv=1,
         column_segments=8,
     )
-    scene = procedural.build_atrium_scene(cfg)
+    # untextured: interpret-mode texture sampling is covered by
+    # test_texture.py; frame tests stay fast without it
+    scene = procedural.build_atrium_scene(cfg, textured=False)
     rs = scenebuild.build_render_scene(scene)
     return frame_mod.scene_to_device(rs)
 
