@@ -56,7 +56,7 @@ class VolumetricsSettings:
     max_distance: float = 30.0
     base_density: float = 0.005
     noise_density: float = 0.01
-    ambient: float = 0.3
+    ambient: float = 0.02  # froxelLightScattering.comp:57 constantAmbient
     scattering_coefficient: float = 1.0
     absorption_coefficient: float = 0.1
     phase_g: float = 0.2

@@ -12,31 +12,16 @@ now (the reference's temporary-image pool dissolves).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
-def _bilinear_at_half_offsets(img, dy, dx):
-    """Sample (C, H, W) at each pixel center + (dx, dy) in SOURCE texels,
-    clamped; offsets are multiples of 0.5 so this is exact averaging."""
+def _expand_taps(taps):
+    """[( (dy, dx), w )] with half-texel offsets -> integer-offset weights.
 
-    def shift(a, sy, sx):
-        # clamp shifts to the mip size (tiny mips at small resolutions)
-        sy = max(-(a.shape[-2] - 1), min(a.shape[-2] - 1, sy))
-        sx = max(-(a.shape[-1] - 1), min(a.shape[-1] - 1, sx))
-        out = jnp.roll(a, (-sy, -sx), axis=(-2, -1))
-        if sy > 0:
-            out = out.at[..., -sy:, :].set(out[..., -sy - 1:-sy, :])
-        elif sy < 0:
-            out = out.at[..., :-sy, :].set(out[..., -sy:-sy + 1, :])
-        if sx > 0:
-            out = out.at[..., :, -sx:].set(out[..., :, -sx - 1:-sx])
-        elif sx < 0:
-            out = out.at[..., :, :-sx].set(out[..., :, -sx:-sx + 1])
-        return out
-
-    # offsets arrive as python floats; decompose into integer + fraction
-    # (pure-python math: jnp on constants would create tracers under
-    # shard_map and break the static shift offsets)
+    Bilinear at multiples of 0.5 is exact averaging, so every fractional tap
+    expands into 2/4 integer taps; duplicate offsets are merged so the whole
+    pattern is one fused weighted-sum stencil."""
     import math
 
     def axis_samples(d):
@@ -47,11 +32,51 @@ def _bilinear_at_half_offsets(img, dy, dx):
             return [(lo, 1.0)]
         return [(lo, 1.0 - frac), (lo + 1, frac)]
 
-    out = 0.0
-    for sy, wy in axis_samples(float(dy)):
-        for sx, wx in axis_samples(float(dx)):
-            out = out + shift(img, sy, sx) * (wy * wx)
-    return out
+    merged = {}
+    for (dy, dx), weight in taps:
+        for sy, wy in axis_samples(dy):
+            for sx, wx in axis_samples(dx):
+                merged[(sy, sx)] = merged.get((sy, sx), 0.0) + weight * wy * wx
+    return merged
+
+
+def _stencil(img, merged_taps, stride: int = 1):
+    """Apply integer-offset weighted-sum taps as ONE depthwise convolution
+    (clamp-to-edge padding, correlation orientation, optional stride).
+
+    A conv expresses the whole tap pattern as a single XLA op: no
+    per-tap materialization (the old roll-based shifts), and no giant
+    pad+slice fusions (which fault the TPU backend at 1080p when the deep
+    mips enter the program)."""
+    c, h, w = img.shape
+    offs = list(merged_taps.items())
+    lo_y = min(0, min(sy for (sy, _), _ in offs))
+    hi_y = max(0, max(sy for (sy, _), _ in offs))
+    lo_x = min(0, min(sx for (_, sx), _ in offs))
+    hi_x = max(0, max(sx for (_, sx), _ in offs))
+    kh = hi_y - lo_y + 1
+    kw = hi_x - lo_x + 1
+    kernel = jnp.zeros((c, 1, kh, kw), img.dtype)
+    for (sy, sx), wt in offs:
+        kernel = kernel.at[:, 0, sy - lo_y, sx - lo_x].add(wt)
+    # clamp-to-edge: explicit edge pad, then VALID correlation.
+    # out[y] = sum_k K[k] * padded[y*stride + k] with padded[i] =
+    # img_clamped[i + lo_y], so tap k hits img[y*stride + lo_y + k]. ✓
+    padded = jnp.pad(img, ((0, 0), (-lo_y, hi_y), (-lo_x, hi_x)),
+                     mode="edge") if (kh > 1 or kw > 1) else img
+    out = jax.lax.conv_general_dilated(
+        padded[None], kernel,
+        window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0]
+
+
+def _bilinear_at_half_offsets(img, dy, dx):
+    """Sample (C, H, W) at each pixel center + (dx, dy) in SOURCE texels,
+    clamped; offsets are multiples of 0.5 so this is exact averaging."""
+    return _stencil(img, _expand_taps([((dy, dx), 1.0)]))
 
 
 def downsample_13tap(src):
@@ -70,10 +95,9 @@ def downsample_13tap(src):
         ((-1.5, 1.5), 0.03125), ((-1.5, -1.5), 0.03125),
     ]
     # dst center lies between 4 source texels: offset +0.5 in source space
-    acc = 0.0
-    for (dy, dx), weight in taps:
-        acc = acc + _bilinear_at_half_offsets(src, dy + 0.5, dx + 0.5) * weight
-    return acc[:, ::2, ::2]
+    merged = _expand_taps(
+        [((dy + 0.5, dx + 0.5), weight) for (dy, dx), weight in taps])
+    return _stencil(src, merged, stride=2)
 
 
 def tent9(src, blur_radius: float):
@@ -86,10 +110,7 @@ def tent9(src, blur_radius: float):
         ((r, r), 0.0625), ((r, -r), 0.0625),
         ((-r, r), 0.0625), ((-r, -r), 0.0625),
     ]
-    color = 0.0
-    for (dy, dx), weight in taps:
-        color = color + _bilinear_at_half_offsets(src, dy, dx) * weight
-    return color
+    return _stencil(src, _expand_taps(taps))
 
 
 def _box_upsample(src, out_h: int, out_w: int):
@@ -97,11 +118,9 @@ def _box_upsample(src, out_h: int, out_w: int):
     repeat + symmetric half-texel box == exact bilinear of the source)."""
     up = jnp.repeat(jnp.repeat(src, 2, axis=-2), 2, axis=-1)
     up = up[:, :out_h, :out_w]
-    return (
-        _bilinear_at_half_offsets(up, 0.5, 0.5) * 0.25
-        + _bilinear_at_half_offsets(up, 0.5, -0.5) * 0.25
-        + _bilinear_at_half_offsets(up, -0.5, 0.5) * 0.25
-        + _bilinear_at_half_offsets(up, -0.5, -0.5) * 0.25)
+    merged = _expand_taps([((0.5, 0.5), 0.25), ((0.5, -0.5), 0.25),
+                           ((-0.5, 0.5), 0.25), ((-0.5, -0.5), 0.25)])
+    return _stencil(up, merged)
 
 
 def compute_bloom(color, strength: float, blur_radius: float, mip_count: int):

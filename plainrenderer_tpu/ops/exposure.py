@@ -17,6 +17,7 @@ scatters. The scalar preExposeLights pass is straight jnp math.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 N_BINS = 128  # RenderFrontend.cpp:46
@@ -27,7 +28,7 @@ MAX_LUMINANCE = 200000.0  # RenderFrontend.cpp:1067
 def compute_histogram(color, previous_exposure, n_bins: int = N_BINS,
                       min_lum: float = MIN_LUMINANCE,
                       max_lum: float = MAX_LUMINANCE,
-                      downsample: int = 2):
+                      downsample: int = 4):
     """color (3, H, W) -> (n_bins,) f32 counts.
 
     downsample strides the input (exposure statistics are insensitive to it;
@@ -41,9 +42,16 @@ def compute_histogram(color, previous_exposure, n_bins: int = N_BINS,
     t = jnp.clip((jnp.log(jnp.maximum(lum, 1e-12)) - log_min)
                  / (log_max - log_min), 0.0, 1.0)
     bins = (t * (n_bins - 1)).astype(jnp.int32).reshape(-1)
-    # dense bincount: (P, 1) == (1, B) comparison matrix summed per bin
-    ids = jnp.arange(n_bins, dtype=jnp.int32)[None, :]
-    counts = jnp.sum((bins[:, None] == ids).astype(jnp.float32), axis=0)
+    # sort-based bincount: one radix sort of the bin ids + 128 binary
+    # searches for the bin boundaries. The one-hot comparison-matrix
+    # formulation materialized (P, 128) floats (measured 3-5 ms at 1080p);
+    # the sort is ~2 ms/M keys on the TPU and P/16 keys are plenty for an
+    # auto-exposure histogram.
+    bins_sorted = jax.lax.sort(bins)
+    edges = jnp.searchsorted(
+        bins_sorted, jnp.arange(n_bins + 1, dtype=jnp.int32)).astype(
+        jnp.float32)
+    counts = edges[1:] - edges[:-1]
     return counts * float(downsample * downsample)
 
 

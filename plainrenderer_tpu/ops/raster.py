@@ -229,21 +229,40 @@ class PairLists:
 
     pair_tri: jnp.ndarray  # (P,) i32 triangle index per pair (T == dummy)
     tile_start: jnp.ndarray  # (n_tiles,) i32 raw offset into the pair stream
-    tile_groups: jnp.ndarray  # (n_tiles,) i32 number of GROUP-sized groups
+    tile_count: jnp.ndarray  # (n_tiles,) i32 pairs per tile (capped)
     overflow: jnp.ndarray  # () i32 diagnostic: dropped pairs/triangles
+
+
+def _fill_forward(values_per_tri, offsets, p_max):
+    """g[j] = values_per_tri[owner(j)] without a (P,)-sized gather.
+
+    owner(j) is non-decreasing (cumsum expansion), so scatter the per-
+    triangle DELTA at each triangle's first pair index and inclusive-cumsum:
+    deltas telescope, ties (zero-span triangles sharing an offset) resolve
+    to the last triangle of the tie group — exactly the owner. Cost: one
+    T-sized scatter-add + one P cumsum instead of a P-sized gather (XLA TPU
+    gathers cost ~8 cycles/element; the scatter is 4x smaller and cumsum is
+    a dense log-pass scan)."""
+    deltas = jnp.diff(values_per_tri, prepend=0)
+    acc = jnp.zeros((p_max,), jnp.int32).at[offsets].add(
+        deltas, mode="drop")
+    return jnp.cumsum(acc)
 
 
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 pairs_per_tri: float = 4.0) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
-    EXACT per-triangle tile-coverage expansion: pair j's triangle is found
-    by binary search over the cumulative span counts (no per-class window
-    over-generation — the candidate stream is ~len(sum of spans), typically
-    ~1.2x the triangle count at 1080p, instead of the ~17x of a class
-    scheme). One single-array lax.sort of packed (tile, tri) keys orders the
-    stream; per-tile segments are then re-gathered at GROUP-aligned offsets
-    because the TPU DMA engine requires lane-aligned slice offsets.
+    EXACT per-triangle tile-coverage expansion: the candidate stream is
+    ~len(sum of spans), typically ~1.2x the triangle count at 1080p. The
+    owner triangle of pair j and its packed tile geometry are recovered with
+    scatter+cumsum fill-forward (no large gathers, no searchsorted — both
+    measured several ms at this size), then ONE packed-key lax.sort (the
+    TPU radix sort) orders the stream by (tile, tri). Per-tile segments are
+    NOT re-aligned: the raster kernels DMA from the group-aligned floor of
+    each segment start and mask the lead-in (the DMA engine requires
+    128-lane-aligned offsets; masking is free, re-gathering the stream into
+    aligned segments measured ~6 ms).
 
     pairs_per_tri bounds the static candidate size; overflow (dropped pairs)
     is counted in the result for observability.
@@ -268,24 +287,20 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     overflow = jnp.maximum(total - p_max, 0)
 
     j = jnp.arange(p_max, dtype=jnp.int32)
-    # owner triangle of pair j: first triangle whose end > j (zero-span
-    # triangles tie on ends and are skipped by side='right')
-    # method='sort' rides the TPU's fast radix sort; the default binary
-    # scan costs ~8 cycles/element/iteration in XLA gathers (measured 7x
-    # slower at this size)
-    tri = jnp.clip(
-        jnp.searchsorted(ends, j, side="right", method="sort"),
-        0, t_count - 1).astype(jnp.int32)
-    # one packed-geometry gather instead of four (XLA gathers cost per
-    # element): ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]
+    # owner triangle of pair j: #(ends <= j), via an ends-histogram cumsum
+    cnt = jnp.zeros((p_max,), jnp.int32).at[ends].add(1, mode="drop")
+    tri = jnp.clip(jnp.cumsum(cnt), 0, t_count - 1)
+    # packed tile geometry of the owner, fill-forwarded to pair order:
+    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]
     geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
                    + jnp.minimum(span_y, 255))
-    g = geom_packed[tri]
+    g = _fill_forward(geom_packed, offsets, p_max)
+    off = _fill_forward(offsets, offsets, p_max)
     g_span_y = g & 255
     g_span_x = (g >> 8) & 127
     g_tx0 = (g >> 15) & 127
     g_ty0 = g >> 22
-    local = j - offsets[tri]
+    local = j - off
     in_use = (j < total) & (local >= 0) & (local < g_span_x * g_span_y)
     sxw = jnp.maximum(g_span_x, 1)
     dy = local // sxw
@@ -295,7 +310,11 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     key = jnp.where(in_use, tile * (t_count + 1) + tri,
                     jnp.int32(n_tiles * (t_count + 1)))
     keys_sorted = jax.lax.sort(key)
-    sorted_tri = keys_sorted % (t_count + 1)
+    # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can read
+    # up to GROUP-1 entries past the last tile's segment end
+    pair_tri = jnp.concatenate([
+        keys_sorted % (t_count + 1),
+        jnp.full((GROUP,), t_count, jnp.int32)])
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(
@@ -303,45 +322,14 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     raw_end = jnp.searchsorted(
         keys_sorted, (tile_ids + 1) * (t_count + 1)).astype(jnp.int32)
     n_real = raw_end - raw_start
-    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE)
+    # cap leaves room for the group-aligned lead-in masked by the kernel
+    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE - GROUP)
     overflow = overflow + jnp.sum(n_real - capped)
-    tile_groups = (capped + GROUP - 1) // GROUP
-
-    # re-gather the sorted stream into GROUP-ALIGNED per-tile segments: the
-    # TPU DMA engine requires tile-aligned slice offsets/extents (second-
-    # minor multiples of the sublane packing, minor multiples of 128), so
-    # every tile's segment must start at a multiple of GROUP=128
-    aligned_start = (jnp.cumsum(tile_groups) - tile_groups) * GROUP
-    p_aligned = (p_max + n_tiles * (GROUP - 1) + GROUP - 1) \
-        // GROUP * GROUP  # static worst case, whole GROUP blocks
-    ja = jnp.arange(p_aligned, dtype=jnp.int32)
-    # aligned segments are whole GROUP blocks, so tile ownership is constant
-    # within each block: search only once per block, then broadcast (the
-    # per-element searchsorted here measured ~7 ms at 1080p)
-    blocks = jnp.arange(p_aligned // GROUP, dtype=jnp.int32) * GROUP
-    # among tiles sharing a start (zero-group ties) only the last can own it
-    tile_of_block = (jnp.searchsorted(aligned_start, blocks, side="right")
-                     - 1).astype(jnp.int32)
-
-    # per-tile lookups happen at BLOCK granularity (few thousand gathers,
-    # not p_aligned): pack (raw_start - aligned_start) with capped[12b]
-    n_blocks = p_aligned // GROUP
-    delta_packed = ((raw_start - aligned_start + p_aligned) * 4096
-                    + capped)
-    tp = jnp.broadcast_to(
-        delta_packed[tile_of_block][:, None], (n_blocks, GROUP)).reshape(-1)
-    a_start = jnp.broadcast_to(
-        aligned_start[tile_of_block][:, None], (n_blocks, GROUP)).reshape(-1)
-    t_capped = tp & 4095
-    src_unclipped = ja + (tp >> 12) - p_aligned  # raw_start + local
-    in_range = (ja - a_start) < t_capped
-    src = jnp.clip(src_unclipped, 0, p_max - 1)
-    pair_tri = jnp.where(in_range, sorted_tri[src], t_count)
 
     return PairLists(
         pair_tri=pair_tri,
-        tile_start=aligned_start.astype(jnp.int32),
-        tile_groups=tile_groups,
+        tile_start=raw_start,
+        tile_count=capped,
         overflow=overflow,
     )
 
@@ -409,23 +397,32 @@ def _pixel_basis(tile_y, tile_x):
     return jnp.concatenate([x, y, ones, zeros], axis=0)  # (4, PX)
 
 
-def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
+def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
                         depth_clamp: bool = False):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
-    edge+depth planes on the MXU, resolve a packed (depth | slot) max."""
+    edge+depth planes on the MXU, resolve a packed (depth | slot) max.
+
+    Per-tile segments start at ARBITRARY stream offsets; DMAs read from the
+    group-aligned floor (the DMA engine needs 128-lane-aligned offsets) and
+    the lead-in/tail rows outside [start, start+count) are masked. Slots are
+    tracked relative to the aligned base so the G-buffer attribute refetch
+    uses the same aligned DMA grid."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
-    start = pl.multiple_of(start_ref[tile], GROUP)
-    n_groups = ngroups_ref[tile]
+    start = start_ref[tile]
+    count = count_ref[tile]
+    base = pl.multiple_of(start // GROUP * GROUP, GROUP)
+    lead = start - base
+    n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
     basis = _pixel_basis(ty, tx)  # (3, PX)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def group_dma(slot, g):
         return pltpu.make_async_copy(
-            edges_ref.at[:, pl.ds(start + g * GROUP, GROUP)],
+            edges_ref.at[:, pl.ds(base + g * GROUP, GROUP)],
             edge_buf.at[slot],
             sems.at[slot],
         )
@@ -458,6 +455,10 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
         e2 = plane_eval(2)
         zz = plane_eval(3)
         cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+        # mask rows outside this tile's [start, start+count) segment
+        row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
+               + g * GROUP)
+        cov = cov & (row >= lead) & (row < lead + count)
         if depth_clamp:
             # sun-shadow semantics: the reference renders cascades with
             # depth clamping (lightMatrix.comp:62 comment), so casters
@@ -468,11 +469,7 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
             zc = jnp.clip(zz, 0.0, 1.0)
         zi = pltpu.bitcast(zc, jnp.int32)
         if track_winner:
-            slot_iota = (
-                jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
-                + g * GROUP
-            )
-            cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | slot_iota, 0)
+            cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | row, 0)
         else:
             cand = jnp.where(cov, zi, 0)
         group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
@@ -493,9 +490,9 @@ def _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
         vis_ref[...] = jnp.where(acc2d != 0, acc2d & SLOT_MASK, -1)
 
 
-def _depth_kernel(start_ref, ngroups_ref, edges_ref, depth_ref,
+def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
                   acc_ref, edge_buf, sems):
-    _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, None,
+    _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
                         depth_clamp=True)
 
@@ -527,30 +524,33 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
         interpret=interpret,
-    )(pairs.tile_start, pairs.tile_groups, pair_edges)
+    )(pairs.tile_start, pairs.tile_count, pair_edges)
     return depth
 
 
-def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
+def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem):
     """Full visibility + attribute resolve for the main view."""
-    _depth_resolve_loop(start_ref, ngroups_ref, edges_ref, depth_ref, vis_ref,
+    _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, track_winner=True)
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
-    start = pl.multiple_of(start_ref[tile], GROUP)
-    n_groups = ngroups_ref[tile]
+    start = start_ref[tile]
+    count = count_ref[tile]
+    base = pl.multiple_of(start // GROUP * GROUP, GROUP)
+    lead = start - base
+    n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
     # i32 reshape once; masks derived in 2D (i1 reshapes are Mosaic-illegal)
     acc2d = acc_ref[...].reshape(TILE_H, TILE_W)  # packed depth|slot
     valid2d = acc2d != 0
-    slot2d = acc2d & SLOT_MASK
+    slot2d = acc2d & SLOT_MASK  # slot == stream index relative to base
 
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
-    n_slot_groups = (n_groups * GROUP + 127) // 128
+    n_slot_groups = n_groups
 
     def sg_body(sg, _):
         sel8 = valid2d & ((slot2d >> 7) == sg)
@@ -559,7 +559,7 @@ def _gbuffer_kernel(start_ref, ngroups_ref, edges_ref, attrs_ref,
         @pl.when(hit)
         def _():
             dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + sg * 128, 128)],
+                attrs_ref.at[:, pl.ds(base + sg * 128, 128)],
                 attr_buf,
                 attr_sem,
             )
@@ -672,7 +672,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
             jax.ShapeDtypeStruct((GBUF_CHANNELS, h, w), jnp.float32),
         ],
         interpret=interpret,
-    )(pairs.tile_start, pairs.tile_groups, pair_edges, pair_attrs)
+    )(pairs.tile_start, pairs.tile_count, pair_edges, pair_attrs)
     return depth, vis, gbuf
 
 
@@ -688,8 +688,10 @@ def winner_triangle_ids(vis: jnp.ndarray, pairs: PairLists,
     ty = jnp.arange(h) // TILE_H
     tx = jnp.arange(w) // TILE_W
     tile = ty[:, None] * n_tiles_x + tx[None, :]
-    idx = pairs.tile_start[tile] + jnp.maximum(vis, 0)
-    tri = pairs.pair_tri[idx]
+    # vis slots are relative to the group-aligned floor of the segment start
+    base = pairs.tile_start[tile] // GROUP * GROUP
+    idx = base + jnp.maximum(vis, 0)
+    tri = pairs.pair_tri[jnp.clip(idx, 0, pairs.pair_tri.shape[0] - 1)]
     return jnp.where(vis >= 0, tri, -1)
 
 

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.color import linear_to_ycocg, ycocg_to_linear  # noqa: F401
+from ..utils.stencil import EdgePadded
 from . import gatherlib
 from .raster import TILE_H, TILE_W
 
@@ -150,18 +151,23 @@ def _trace_kernel(
                    0, jnp.maximum(nbz - 2, 0))
 
     # fetch the 8 window bricks (each one aligned (8,128)/(32,128) DMA)
-    dmas = []
-    for k, (dz_, dy_, dx_) in enumerate(
-            [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]):
-        bidx = ((bz0 + dz_) * nby + (by0 + dy_)) * nbx + (bx0 + dx_)
-        dmas.append(pltpu.make_async_copy(
-            sdf_ref.at[bidx], win_sdf.at[pl.ds(k * 8, 8)], sems.at[k]))
-        dmas.append(pltpu.make_async_copy(
-            alb_ref.at[bidx], win_alb.at[pl.ds(k * 32, 32)], sems.at[8 + k]))
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
+    # all-sky tiles skip the window fetch; their rays are never alive so the
+    # march below exits immediately and outputs are fully masked by `valid`
+    @pl.when(jnp.any(valid))
+    def _():
+        dmas = []
+        for k, (dz_, dy_, dx_) in enumerate(
+                [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]):
+            bidx = ((bz0 + dz_) * nby + (by0 + dy_)) * nbx + (bx0 + dx_)
+            dmas.append(pltpu.make_async_copy(
+                sdf_ref.at[bidx], win_sdf.at[pl.ds(k * 8, 8)], sems.at[k]))
+            dmas.append(pltpu.make_async_copy(
+                alb_ref.at[bidx], win_alb.at[pl.ds(k * 32, 32)],
+                sems.at[8 + k]))
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
     sdf_table = win_sdf[...]  # (64, 128): brick k rows [8k, 8k+8)
     alb_table = win_alb[...]  # (256, 128): brick k rows [32k, 32k+32)
@@ -202,23 +208,36 @@ def _trace_kernel(
     pz = wz + nz * 0.2
 
     threshold = voxel * 0.43  # length(extents/res)*0.25 analog (SDF.inc:131)
-    t = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    hit = jnp.zeros((TILE_H, TILE_W), jnp.bool_)
-    d_prev = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    d_hit = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    dprev_hit = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    alive = valid
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    # masks carried as f32 0/1 — Mosaic cannot legalize i1 vectors in
+    # scf.while carries ("failed to legalize scf.yield")
+    state0 = (jnp.int32(0), zero, zero, zero, zero, zero,
+              valid.astype(jnp.float32))
 
-    for _ in range(steps):
+    # early-exit march: a fixed unrolled loop pays all `steps` iterations on
+    # every tile; most tiles converge in far fewer (hits are near, sky tiles
+    # are skipped wholesale), so the while_loop exits as soon as no ray in
+    # the tile is alive
+    def cond(state):
+        i, _, _, _, _, _, alive_f = state
+        return (i < steps) & (jnp.max(alive_f) > 0.0)
+
+    def body(state):
+        i, t, d_prev, d_hit, dprev_hit, hit_f, alive_f = state
         d = sample_sdf(px + dx * t, py + dy * t, pz + dz * t)
-        new_hit = alive & (d < threshold)
+        new_hit = (alive_f > 0.0) & (d < threshold)
         d_hit = jnp.where(new_hit, d, d_hit)
         dprev_hit = jnp.where(new_hit, d_prev, dprev_hit)
-        hit = hit | new_hit
-        alive = alive & ~new_hit & (t < influence)
+        hit_f = jnp.maximum(hit_f, new_hit.astype(jnp.float32))
+        alive = (alive_f > 0.0) & ~new_hit & (t < influence)
         step_len = jnp.maximum(jnp.abs(d), voxel * 0.5)
         t = jnp.where(alive, t + step_len, t)
-        d_prev = d
+        return (i + 1, t, d, d_hit, dprev_hit, hit_f,
+                alive.astype(jnp.float32))
+
+    _, t, d_prev, d_hit, dprev_hit, hit_f, _ = jax.lax.while_loop(
+        cond, body, state0)
+    hit = hit_f > 0.0
 
     # Claybook planar refinement (SDF.inc:160-168)
     refine = d_hit / jnp.maximum(1.0 - (d_hit - dprev_hit), 1e-3)
@@ -239,12 +258,21 @@ def _trace_kernel(
     sdx = sun_ref[0, 0]
     sdy = sun_ref[0, 1]
     sdz = sun_ref[0, 2]
-    lit = jnp.ones((TILE_H, TILE_W), jnp.float32)
-    st = voxel * 1.5
-    for i in range(8):
+    def shadow_cond(state):
+        i, _, _ = state
+        # skipped wholesale on all-miss tiles
+        return (i < 8) & (jnp.max(hit_f) > 0.0)
+
+    def shadow_body(state):
+        i, st, lit = state
         ds = sample_sdf(hx + sdx * st, hy + sdy * st, hz + sdz * st)
         lit = jnp.where(ds < threshold * 0.8, 0.0, lit)
-        st = st + jnp.maximum(jnp.abs(ds), voxel)
+        return (i + 1, st + jnp.maximum(jnp.abs(ds), voxel), lit)
+
+    _, _, lit = jax.lax.while_loop(
+        shadow_cond, shadow_body,
+        (jnp.int32(0), jnp.full((TILE_H, TILE_W), voxel * 1.5),
+         jnp.ones((TILE_H, TILE_W), jnp.float32)))
 
     sun_r = sun_ref[0, 3] * sun_ref[0, 6]
     sun_g = sun_ref[0, 4] * sun_ref[0, 6]
@@ -380,24 +408,28 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
 # --------------------------------------------------------------------------
 
 def _shift(p, dy, dx):
+    """out[y, x] = in_clamped[y + dy, x + dx] — one-off use; multi-tap
+    stencils below share one EdgePadded per plane so XLA fuses them."""
     # clamp to the image size (filter radii can exceed tiny test images)
     dy = max(-(p.shape[-2] - 1), min(p.shape[-2] - 1, dy))
     dx = max(-(p.shape[-1] - 1), min(p.shape[-1] - 1, dx))
-    out = jnp.roll(p, (-dy, -dx), axis=(-2, -1))
-    if dy > 0:
-        out = out.at[..., -dy:, :].set(out[..., -dy - 1:-dy, :])
-    elif dy < 0:
-        out = out.at[..., :-dy, :].set(out[..., -dy:-dy + 1, :])
-    if dx > 0:
-        out = out.at[..., :, -dx:].set(out[..., :, -dx - 1:-dx])
-    elif dx < 0:
-        out = out.at[..., :, :-dx].set(out[..., :, -dx:-dx + 1])
-    return out
+    return EdgePadded(p, abs(dy), abs(dx)).tap_fwd(dy, dx)
+
+
+def _clamp_offs(p, offs):
+    """Clamp tap offsets to the plane size (tiny test images)."""
+    h, w = p.shape[-2], p.shape[-1]
+    return [(max(-(h - 1), min(h - 1, dy)), max(-(w - 1), min(w - 1, dx)))
+            for dy, dx in offs]
 
 
 def neighborhood_resolve(y_sh, cocg, normal, lin_depth):
     """sdfDiffuseTrace.comp:66-116 — 3x3 normal/depth-guided gaussian over
     the per-ray results (the reference's 8x8 shared-memory resolve)."""
+    pn = EdgePadded(normal, 1, 1)
+    pd = EdgePadded(lin_depth, 1, 1)
+    py = EdgePadded(y_sh, 1, 1)
+    pc = EdgePadded(cocg, 1, 1)
     acc_y = y_sh
     acc_c = cocg
     total = jnp.ones_like(lin_depth)
@@ -405,14 +437,14 @@ def neighborhood_resolve(y_sh, cocg, normal, lin_depth):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            n2 = _shift(normal, dy, dx)
-            d2 = _shift(lin_depth, dy, dx)
+            n2 = pn.tap_fwd(dy, dx)
+            d2 = pd.tap_fwd(dy, dx)
             non = jnp.sum(normal * n2, axis=0)
             ok = (non > 0.9) & (jnp.abs(lin_depth - d2) < 0.5)
             w = (1.0 if dy == 0 else 0.5) * (1.0 if dx == 0 else 0.5)
             wm = jnp.where(ok, w, 0.0)
-            acc_y = acc_y + _shift(y_sh, dy, dx) * wm[None]
-            acc_c = acc_c + _shift(cocg, dy, dx) * wm[None]
+            acc_y = acc_y + py.tap_fwd(dy, dx) * wm[None]
+            acc_c = acc_c + pc.tap_fwd(dy, dx) * wm[None]
             total = total + wm
     return acc_y / total[None], acc_c / total[None]
 
@@ -457,16 +489,22 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
     radius_px = jnp.clip(radius_world * proj_scale / jnp.maximum(
         lin_depth, 0.5), 1.0, 24.0)
 
+    margin_y = min(int(_SPATIAL_NOMINAL_R) + 1, y_sh.shape[-2] - 1)
+    margin_x = min(int(_SPATIAL_NOMINAL_R) + 1, y_sh.shape[-1] - 1)
+
     def make_branch(rotation: int):
-        offsets = _spiral_offsets(seed, rotation)
+        offsets = _clamp_offs(y_sh, _spiral_offsets(seed, rotation))
 
         def branch(operands):
             y_sh, cocg, normal, world_pos, radius_px = operands
+            pw_ = EdgePadded(world_pos, margin_y, margin_x)
+            py_ = EdgePadded(y_sh, margin_y, margin_x)
+            pc_ = EdgePadded(cocg, margin_y, margin_x)
             acc_y = jnp.zeros_like(y_sh)
             acc_c = jnp.zeros_like(cocg)
             total = jnp.zeros_like(radius_px)
             for dy, dx in offsets:
-                p2 = _shift(world_pos, dy, dx)
+                p2 = pw_.tap_fwd(dy, dx)
                 dist_plane = jnp.abs(
                     jnp.sum(normal * (p2 - world_pos), axis=0))
                 w = jnp.clip(0.25 / jnp.maximum(dist_plane, 1e-4),
@@ -474,8 +512,8 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
                 # per-pixel radius: taps beyond radius_px fade to zero
                 tap_r = float(np.hypot(dx, dy))
                 w = w * jnp.clip(radius_px / tap_r, 0.0, 1.0) ** 2
-                acc_y = acc_y + _shift(y_sh, dy, dx) * w[None]
-                acc_c = acc_c + _shift(cocg, dy, dx) * w[None]
+                acc_y = acc_y + py_.tap_fwd(dy, dx) * w[None]
+                acc_c = acc_c + pc_.tap_fwd(dy, dx) * w[None]
                 total = total + w
             return acc_y, acc_c, total
 

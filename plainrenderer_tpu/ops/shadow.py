@@ -37,8 +37,9 @@ MAX_CASCADES = 4  # sunShadowCascades.inc:4
 SHADOW_SAMPLE_RADIUS = 0.03  # world-space, sunShadowCascades.inc:5
 # shadow-map window per tile; origins snap to the DMA alignment grid
 # (rows: multiples of 8, cols: multiples of 128) so the window is sized to
-# keep >= (12, 64) texels of margin around the tile-mean position
-WINDOW_H = 40
+# keep >= (8, 64) texels of margin around the tile-mean position (PCF tap
+# radii are only a few texels; the margin absorbs in-tile position spread)
+WINDOW_H = 24
 WINDOW_W = 256
 
 # packed per-cascade row layout for the resolve kernel
@@ -193,7 +194,7 @@ def _shadow_resolve_kernel(
                 (mean_u.astype(jnp.int32) - win_w // 4) // 128 * 128,
                 0, map_size - win_w), 128)
             by = pl.multiple_of(jnp.clip(
-                (mean_v.astype(jnp.int32) - 12) // 8 * 8,
+                (mean_v.astype(jnp.int32) - win_h // 2 + 4) // 8 * 8,
                 0, map_size - win_h), 8)
             dma = pltpu.make_async_copy(
                 maps_ref.at[c, pl.ds(by, win_h), pl.ds(bx, win_w)],

@@ -395,6 +395,9 @@ def view_directions(width, height, cam_forward, cam_up, cam_right,
     sky pass uses the opposite (pixel ray). Here we return the pixel ray
     direction (camera -> scene): d = forward + tanFov*(aspect*ndc.x*right -
     ndc.y*up)... adjusted for the y-down NDC.
+
+    Returns CHANNEL-PLANAR (3, H, W) — channel-minor layouts are ~10x
+    slower on the TPU VPU (3-wide minor axis wastes the 128-lane registers).
     """
     gw = grid_w or width
     gh = grid_h or height
@@ -408,19 +411,12 @@ def view_directions(width, height, cam_forward, cam_up, cam_right,
     f = jnp.asarray(cam_forward, jnp.float32)
     u = jnp.asarray(cam_up, jnp.float32)
     r = jnp.asarray(cam_right, jnp.float32)
-    d = (
-        f[None, None, :]
-        + tan_fov_half * aspect * ndc_x[..., None] * r[None, None, :]
-        + tan_fov_half * ndc_y[..., None] * u[None, None, :]
-    )
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-
-
-def _limb_darkening(dist2):
-    """sunSprite.frag:23-31."""
-    coeff = jnp.asarray([0.482, 0.511, 0.643], jnp.float32)
-    mu = jnp.sqrt(jnp.maximum(1.0 - dist2, 0.0))
-    return jnp.power(jnp.maximum(mu, 1e-6)[..., None], coeff)
+    d = jnp.stack([
+        f[c] + tan_fov_half * aspect * ndc_x * r[c]
+        + tan_fov_half * ndc_y * u[c]
+        for c in range(3)])
+    return d * jax.lax.rsqrt(
+        jnp.sum(d * d, axis=0, keepdims=True))
 
 
 SUN_DIAMETER_DEG = 0.535  # Sky.cpp:243
@@ -431,12 +427,15 @@ def apply_sky(color, depth_valid, sky_lut, transmission_lut, view_dirs_full,
     """Composite sky radiance + sun disc into sky pixels.
 
     color (3, H, W); depth_valid (H, W) bool (geometry coverage);
-    view_dirs_full (H, W, 3). Sky LUT is sampled at 1/coarse_factor
-    resolution and bilinearly upsampled (smooth in direction); the sun disc
-    is analytic at full resolution (sunSprite.frag parity).
+    view_dirs_full (3, H, W) CHANNEL-PLANAR (an (H, W, 3) layout puts the
+    3-wide axis on the 128-lane minor dim and runs ~10x slower on TPU).
+    Sky LUT is sampled at 1/coarse_factor resolution and bilinearly
+    upsampled (smooth in direction); the sun disc is analytic at full
+    resolution (sunSprite.frag parity).
     """
     _, h, w = color.shape
-    dirs_coarse = view_dirs_full[::coarse_factor, ::coarse_factor]
+    dirs_coarse = jnp.moveaxis(
+        view_dirs_full[:, ::coarse_factor, ::coarse_factor], 0, -1)
     uv = _to_sky_lut_uv(dirs_coarse)
     # wrap-pad the LUT in x so the gather-free bilinear handles the seam
     # wrapped width lw+1 makes u*(W-1) == u*lw: u=1 lands on the seam copy
@@ -446,21 +445,26 @@ def apply_sky(color, depth_valid, sky_lut, transmission_lut, view_dirs_full,
         jnp.mod(uv[..., 0], 1.0),
         jnp.clip(uv[..., 1], 0.005, 0.995),
     )
-    sky_full = jax.image.resize(sky_coarse, (h, w, 3), method="bilinear")
-    sky_full = jnp.moveaxis(sky_full, -1, 0)
+    sky_full = jax.image.resize(jnp.moveaxis(sky_coarse, -1, 0), (3, h, w),
+                                method="bilinear")
 
-    # analytic sun disc with limb darkening (sunSprite.frag)
+    # analytic sun disc with limb darkening (sunSprite.frag), all planar
     sun_l = jnp.asarray(sun_direction, jnp.float32)
-    cos_to_sun = jnp.sum(view_dirs_full * sun_l, axis=-1)
+    cos_to_sun = (view_dirs_full[0] * sun_l[0] + view_dirs_full[1] * sun_l[1]
+                  + view_dirs_full[2] * sun_l[2])
     sun_radius = jnp.deg2rad(SUN_DIAMETER_DEG) * 0.5
     angle = jnp.arccos(jnp.clip(cos_to_sun, -1.0, 1.0))
     dist2 = jnp.clip((angle / sun_radius) ** 2, 0.0, 1.0)
-    in_disc = (angle < sun_radius) & (view_dirs_full[..., 1] < 0.35)
+    in_disc = (angle < sun_radius) & (view_dirs_full[1] < 0.35)
     sun_color = sample_transmission_towards_sun(transmission_lut, sun_l)
-    limb = _limb_darkening(dist2)
+    mu = jnp.sqrt(jnp.maximum(1.0 - dist2, 0.0))
+    limb_coeff = (0.482, 0.511, 0.643)  # sunSprite.frag:23-31
     alpha = (1.0 - dist2) ** 2
-    sun_contrib = jnp.moveaxis(
-        limb * sun_color * sun_strength_exposed * alpha[..., None], -1, 0)
+    mu_safe = jnp.maximum(mu, 1e-6)
+    sun_contrib = jnp.stack([
+        jnp.power(mu_safe, limb_coeff[c]) * sun_color[c]
+        * sun_strength_exposed * alpha
+        for c in range(3)])
     sky_full = sky_full + jnp.where(in_disc[None], sun_contrib, 0.0)
 
     return jnp.where(depth_valid[None], color, sky_full)

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.color import luminance
+from ..utils.stencil import EdgePadded
 from . import gatherlib
 from .color_packing import pack_r11g11b10, unpack_r11g11b10
 from .raster import TILE_H, TILE_W
@@ -71,25 +72,17 @@ def resolve_weights(jitter_px):
 
 
 def _shift(plane, dy, dx):
-    """Clamped 2D shift (XLA): plane can be (H, W) or (C, H, W)."""
-    shifted = jnp.roll(plane, (dy, dx), axis=(-2, -1))
-    h, w = plane.shape[-2:]
-    ys = jnp.clip(jnp.arange(h) - dy, 0, h - 1) * 0 + jnp.arange(h)
-    # emulate clamp-to-edge by overwriting the wrapped border
-    if dy > 0:
-        shifted = shifted.at[..., :dy, :].set(shifted[..., dy:dy + 1, :])
-    elif dy < 0:
-        shifted = shifted.at[..., dy:, :].set(shifted[..., dy - 1:dy, :])
-    if dx > 0:
-        shifted = shifted.at[..., :, :dx].set(shifted[..., :, dx:dx + 1])
-    elif dx < 0:
-        shifted = shifted.at[..., :, dx:].set(shifted[..., :, dx - 1:dx])
-    return shifted
+    """Clamped 2D shift (XLA): out[y, x] = in_clamped[y - dy, x - dx].
+
+    One-off use only — for multi-tap stencils build one EdgePadded and slice
+    it per tap so XLA fuses the whole stencil (utils/stencil.py)."""
+    return EdgePadded(plane, abs(dy), abs(dx)).tap(dy, dx)
 
 
 def _neighborhood(color):
     """(3, H, W) -> list of 9 shifted (3, H, W) planes, [dy+1][dx+1] order."""
-    return [[_shift(color, -dy, -dx) for dx in (-1, 0, 1)] for dy in (-1, 0, 1)]
+    p = EdgePadded(color, 1, 1)
+    return [[p.tap(-dy, -dx) for dx in (-1, 0, 1)] for dy in (-1, 0, 1)]
 
 
 def _reversible_tonemap(c):
@@ -105,14 +98,16 @@ def _reversible_tonemap_inverse(c):
 def dilate_motion(motion, depth):
     """temporalReprojection.inc:70-87 — motion of the closest (max reverse-Z)
     depth in the 3x3 neighborhood."""
+    pd = EdgePadded(depth, 1, 1)
+    pm = EdgePadded(motion, 1, 1)
     best_depth = depth
     best = motion
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            d = _shift(depth, -dy, -dx)
-            m = _shift(motion, -dy, -dx)
+            d = pd.tap(-dy, -dx)
+            m = pm.tap(-dy, -dx)
             take = d > best_depth
             best = jnp.where(take[None], m, best)
             best_depth = jnp.maximum(best_depth, d)
@@ -385,7 +380,8 @@ def temporal_supersampling(
 
     # 2x2 block luminance contrast (minAbsoluteDifference sums)
     def block(p):
-        return [p, _shift(p, 0, -1), _shift(p, -1, 0), _shift(p, -1, -1)]
+        e = EdgePadded(p, 1, 1)
+        return [p, e.tap(0, -1), e.tap(-1, 0), e.tap(-1, -1)]
 
     cur_b = block(cur_lum)
     last_b = block(last_lum)
@@ -398,10 +394,11 @@ def temporal_supersampling(
     # closest-neighborhood linear depth (reverse-Z max)
     from .shadow import linearize_depth
 
+    pdep = EdgePadded(depth, 1, 1)
     closest = depth
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            closest = jnp.maximum(closest, _shift(depth, dy, dx))
+            closest = jnp.maximum(closest, pdep.tap(dy, dx))
     cur_lin = linearize_depth(closest, near, far)
     depth_ok = jnp.abs(cur_lin - last_lin_depth) < 1.0
 

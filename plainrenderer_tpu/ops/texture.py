@@ -100,21 +100,25 @@ def _sample_kernel(
     by0 = jnp.clip((mean_v.astype(jnp.int32) - WIN_H // 2) // 8,
                    0, jnp.maximum(nby - WIN_BY, 0))
 
-    dmas = []
-    for k, (dy_, dx_) in enumerate(
-            [(a, b) for a in range(WIN_BY) for b in range(WIN_BX)]):
-        by = jnp.clip(by0 + dy_, 0, jnp.maximum(nby - 1, 0))
-        bx = jnp.clip(bx0 + dx_, 0, jnp.maximum(nbx - 1, 0))
-        bidx = base + by * nbx + bx
-        dmas.append(pltpu.make_async_copy(
-            word0_ref.at[bidx], win0.at[pl.ds(k * 8, 8)], sems.at[k]))
-        dmas.append(pltpu.make_async_copy(
-            word1_ref.at[bidx], win1.at[pl.ds(k * 8, 8)],
-            sems.at[k + WIN_BY * WIN_BX]))
-    for d in dmas:
-        d.start()
-    for d in dmas:
-        d.wait()
+    # untextured / empty tiles skip the window fetch entirely (outputs are
+    # masked by the ok channel downstream)
+    @pl.when(textured)
+    def _():
+        dmas = []
+        for k, (dy_, dx_) in enumerate(
+                [(a, b) for a in range(WIN_BY) for b in range(WIN_BX)]):
+            by = jnp.clip(by0 + dy_, 0, jnp.maximum(nby - 1, 0))
+            bx = jnp.clip(bx0 + dx_, 0, jnp.maximum(nbx - 1, 0))
+            bidx = base + by * nbx + bx
+            dmas.append(pltpu.make_async_copy(
+                word0_ref.at[bidx], win0.at[pl.ds(k * 8, 8)], sems.at[k]))
+            dmas.append(pltpu.make_async_copy(
+                word1_ref.at[bidx], win1.at[pl.ds(k * 8, 8)],
+                sems.at[k + WIN_BY * WIN_BX]))
+        for d in dmas:
+            d.start()
+        for d in dmas:
+            d.wait()
 
     # window-local coords; bricks are laid out row-major (dy, dx) so texel
     # (ty, tx) lives at flat row (dy*WIN_BX + dx)*8 + (ty & 7), lane tx & 127

@@ -5,7 +5,7 @@ distribution k=3 — Volumetrics.cpp:8-16, volumetricFroxelLighting.inc:22-41):
   - froxelVolumeMaterial.comp — density = base + noiseRange*(perlin-0.5) at
     worldPos*0.5 + windOffset; scattering/absorption coefficients per froxel;
   - froxelLightScattering.comp — sun shadow (cascade 2) x Henyey-Greenstein
-    phase + constant 0.02 ambient -> inscattering; extinction luminance ->
+    phase + constant ambient -> inscattering; extinction luminance ->
     transmittance coefficient;
   - volumeLightingReprojection.comp — EMA alpha 0.95 with full
     previous-frustum reprojection;
@@ -14,6 +14,9 @@ distribution k=3 — Volumetrics.cpp:8-16, volumetricFroxelLighting.inc:22-41):
   - per-pixel apply with noise jitter (triangle.frag:131-144, sky.frag).
 
 TPU adaptations (all gather-avoidance, same math):
+  - every volume is CHANNEL-PLANAR (C, D, Hf, Wf): at screen/8 the froxel
+    count matches the pixel count / 64, and channel-minor (..., 3/4) layouts
+    put a 3-wide axis on the 128-lane minor dimension (~10x VPU waste);
   - the 3D Perlin noise texture becomes ANALYTIC hash-gradient noise
     evaluated per froxel (pure ALU; the texture fetch would be a 2M-point
     gather);
@@ -58,43 +61,47 @@ def _hash3(ix, iy, iz):
     return s
 
 
-def analytic_perlin_3d(pos):
-    """Gradient noise in [0,1] at world positions pos (..., 3). Replaces the
-    reference's 3D Perlin texture sample (same character: smooth gradient
-    noise with ~1-unit features) with pure ALU."""
-    p = pos
-    i0 = jnp.floor(p).astype(jnp.int32)
-    f = p - i0.astype(jnp.float32)
-    w = f * f * f * (f * (f * 6.0 - 15.0) + 10.0)
+def analytic_perlin_3d_planar(px, py, pz):
+    """Gradient noise in [0,1] at world positions given as three planes.
+
+    Replaces the reference's 3D Perlin texture sample (same character:
+    smooth gradient noise with ~1-unit features) with pure ALU."""
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    iz = jnp.floor(pz).astype(jnp.int32)
+    fx = px - ix.astype(jnp.float32)
+    fy = py - iy.astype(jnp.float32)
+    fz = pz - iz.astype(jnp.float32)
+
+    def fade(f):
+        return f * f * f * (f * (f * 6.0 - 15.0) + 10.0)
+
+    wx, wy, wz = fade(fx), fade(fy), fade(fz)
 
     def grad_dot(ox, oy, oz):
-        h = _hash3(i0[..., 0] + ox, i0[..., 1] + oy, i0[..., 2] + oz)
-        # three signed components from separate bit fields
+        h = _hash3(ix + ox, iy + oy, iz + oz)
         gx = ((h & jnp.uint32(0x3FF)).astype(jnp.float32) / 511.5) - 1.0
         gy = (((h >> 10) & jnp.uint32(0x3FF)).astype(jnp.float32) / 511.5) - 1.0
         gz = (((h >> 20) & jnp.uint32(0x3FF)).astype(jnp.float32) / 511.5) - 1.0
         inv = jax.lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-6)
-        dx = f[..., 0] - ox
-        dy = f[..., 1] - oy
-        dz = f[..., 2] - oz
-        return (gx * dx + gy * dy + gz * dz) * inv
+        return (gx * (fx - ox) + gy * (fy - oy) + gz * (fz - oz)) * inv
 
     def lerp(a, b, t):
         return a + (b - a) * t
 
-    c00 = lerp(grad_dot(0, 0, 0), grad_dot(1, 0, 0), w[..., 0])
-    c10 = lerp(grad_dot(0, 1, 0), grad_dot(1, 1, 0), w[..., 0])
-    c01 = lerp(grad_dot(0, 0, 1), grad_dot(1, 0, 1), w[..., 0])
-    c11 = lerp(grad_dot(0, 1, 1), grad_dot(1, 1, 1), w[..., 0])
-    c0 = lerp(c00, c10, w[..., 1])
-    c1 = lerp(c01, c11, w[..., 1])
-    n = lerp(c0, c1, w[..., 2])
+    c00 = lerp(grad_dot(0, 0, 0), grad_dot(1, 0, 0), wx)
+    c10 = lerp(grad_dot(0, 1, 0), grad_dot(1, 1, 0), wx)
+    c01 = lerp(grad_dot(0, 0, 1), grad_dot(1, 0, 1), wx)
+    c11 = lerp(grad_dot(0, 1, 1), grad_dot(1, 1, 1), wx)
+    c0 = lerp(c00, c10, wy)
+    c1 = lerp(c01, c11, wy)
+    n = lerp(c0, c1, wz)
     return jnp.clip(n / (jnp.sqrt(3.0) / 2.0) * 0.5 + 0.5, 0.0, 1.0)
 
 
 def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
                            sample_offset=0.5):
-    """Froxel centers in world space, (D, Hf, Wf, 3).
+    """Froxel centers in world space, CHANNEL-PLANAR (3, D, Hf, Wf).
 
     Mirrors froxelVolumeMaterial.comp:24-30: ndc from froxel uv, view ray
     through the pixel, world = cam + ray/dot(ray, fwd) * sliceDepth.
@@ -112,60 +119,77 @@ def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
     f = cam["forward"]
     u = cam["up"]
     r = cam["right"]
-    ray = (
-        f[None, None, :]
-        + tan_fov_half * aspect * xs[None, :, None] * r[None, None, :]
-        + tan_fov_half * ys[:, None, None] * u[None, None, :]
-    )  # (Hf, Wf, 3) unnormalized; dot(ray, f) == 1 by construction
-    pos = (cam["position"][None, None, None, :]
-           + ray[None, :, :, :] * depth[:, None, None, None])
-    return pos
+    ndc_x = jnp.broadcast_to(xs[None, :], (hf, wf))
+    ndc_y = jnp.broadcast_to(ys[:, None], (hf, wf))
+    return jnp.stack([
+        cam["position"][c]
+        + (f[c] + tan_fov_half * aspect * ndc_x * r[c]
+           + tan_fov_half * ndc_y * u[c])[None] * depth[:, None, None]
+        for c in range(3)])  # ray is unnormalized; dot(ray, f) == 1
 
 
-def material_volume(world_pos, settings, wind_offset):
-    """froxelVolumeMaterial.comp — (D, Hf, Wf, 4): scatter rgb + absorption."""
-    noise = analytic_perlin_3d(world_pos * 0.5 + wind_offset)
+def material_volume(world_pos, settings, wind_offset, noise_stride: int = 2):
+    """froxelVolumeMaterial.comp — (4, D, Hf, Wf): scatter rgb + absorption.
+
+    The density noise is evaluated on a noise_stride-coarser grid and
+    trilinearly upsampled: the analytic gradient noise costs ~60 ALU ops
+    per point and its features span many froxels (worldPos*0.5), so the
+    coarse evaluation is visually identical at 1/8 the cost (the reference
+    samples a prebaked 3D texture, which is equally band-limited)."""
+    s = noise_stride
+    d, hf, wf = world_pos.shape[1:]
+    noise_c = analytic_perlin_3d_planar(
+        world_pos[0, ::s, ::s, ::s] * 0.5 + wind_offset[0],
+        world_pos[1, ::s, ::s, ::s] * 0.5 + wind_offset[1],
+        world_pos[2, ::s, ::s, ::s] * 0.5 + wind_offset[2])
+    noise = jax.image.resize(noise_c, (d, hf, wf), method="trilinear") \
+        if s > 1 else noise_c
     density = settings.base_density + settings.noise_density * (noise - 0.5)
     density = jnp.maximum(density, 0.0)
     scatter = settings.scattering_coefficient * density
     absorption = settings.absorption_coefficient * density
-    return jnp.stack([scatter, scatter, scatter, absorption], axis=-1)
+    return jnp.stack([scatter, scatter, scatter, absorption])
 
 
 def light_scattering(material, world_pos, shadow_coarse, cam, sun_dir,
-                     sun_color, sun_strength, phase_g):
+                     sun_color, sun_strength, phase_g, ambient: float = 0.02):
     """froxelLightScattering.comp — per-froxel inscattering + transmittance.
 
-    shadow_coarse: (Dc, Hc, Wc) shadow factors on a coarse froxel grid,
-    upsampled here (replaces the per-froxel shadow-map tap)."""
-    d, hf, wf, _ = material.shape
+    material/world_pos channel-planar; shadow_coarse (Dc, Hc, Wc) shadow
+    factors on a coarse froxel grid, upsampled here (replaces the per-froxel
+    shadow-map tap). ambient: VolumetricsSettings.ambient
+    (froxelLightScattering.comp constant-ambient term)."""
+    _, d, hf, wf = material.shape
     shadow = jax.image.resize(shadow_coarse, (d, hf, wf), method="trilinear")
-    v = world_pos - cam["position"][None, None, None, :]
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
-    vol = jnp.sum(-v * sun_dir, axis=-1)
+    vx = world_pos[0] - cam["position"][0]
+    vy = world_pos[1] - cam["position"][1]
+    vz = world_pos[2] - cam["position"][2]
+    inv_len = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-18))
+    vol = -(vx * sun_dir[0] + vy * sun_dir[1] + vz * sun_dir[2]) * inv_len
     phase = (1.0 - phase_g ** 2) / (
         4.0 * jnp.pi * jnp.power(
             1.0 + phase_g ** 2 - 2.0 * phase_g * vol, 1.5))
-    sun = (shadow * sun_strength)[..., None] * sun_color * phase[..., None]
-    ambient = 0.02
-    scatter = material[..., 0:3]
-    inscatter = (sun + ambient) * scatter
-    extinction = scatter + material[..., 3:4]
+    sun_base = shadow * sun_strength * phase
+    scatter = material[0]  # rgb scatter channels are identical
+    inscatter = jnp.stack([
+        (sun_base * sun_color[c] + ambient) * scatter for c in range(3)])
+    extinction_rgb = scatter + material[3]
     # transmittance coefficient = luminance of extinction
-    # (froxelLightScattering.comp:59-61)
-    trans = (0.21 * extinction[..., 0] + 0.72 * extinction[..., 1]
-             + 0.07 * extinction[..., 2])
-    return jnp.concatenate([inscatter, trans[..., None]], axis=-1)
+    # (froxelLightScattering.comp:59-61); extinction is gray here
+    trans = (0.21 + 0.72 + 0.07) * extinction_rgb
+    return jnp.concatenate([inscatter, trans[None]], axis=0)
 
 
 def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
                           prev_cam_pos, prev_cam_forward, max_distance,
                           camera_cut):
     """volumeLightingReprojection.comp — EMA alpha 0.95 with previous-frustum
-    reprojection, evaluated on a coarse grid and upsampled."""
-    d, hf, wf, _ = current.shape
-    dc, hc, wc = world_pos_coarse.shape[:3]
-    p = world_pos_coarse.reshape(-1, 3)
+    reprojection, evaluated on a coarse grid and upsampled.
+
+    current/history (4, D, Hf, Wf); world_pos_coarse (3, Dc, Hc, Wc)."""
+    _, d, hf, wf = current.shape
+    _, dc, hc, wc = world_pos_coarse.shape
+    p = world_pos_coarse.reshape(3, -1).T  # (N, 3) — N ~ 30k, fine
     clip = p @ prev_view_proj[:3, :3].T + prev_view_proj[:3, 3]
     w = p @ prev_view_proj[3, :3] + prev_view_proj[3, 3]
     ndc = clip[:, :2] / jnp.where(jnp.abs(w[:, None]) > 1e-9, w[:, None], 1.0)
@@ -184,50 +208,51 @@ def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
     hx = jnp.clip((uvw[:, 0] * wf).astype(jnp.int32), 0, wf - 1)
     hy = jnp.clip((uvw[:, 1] * hf).astype(jnp.int32), 0, hf - 1)
     hz = jnp.clip((uvw[:, 2] * d).astype(jnp.int32), 0, d - 1)
-    hist = history[hz, hy, hx]  # (N, 4)
-    hist = jnp.where(ok[:, None], hist, 0.0)
+    hist = history[:, hz, hy, hx]  # (4, N)
+    hist = jnp.where(ok[None], hist, 0.0)
     alpha_c = jnp.where(ok, 0.95, 0.0).reshape(dc, hc, wc)
-    hist_c = hist.reshape(dc, hc, wc, 4)
+    hist_c = hist.reshape(4, dc, hc, wc)
 
     alpha = jax.image.resize(alpha_c, (d, hf, wf), method="trilinear")
-    hist_full = jax.image.resize(hist_c, (d, hf, wf, 4), method="trilinear")
+    hist_full = jax.image.resize(hist_c, (4, d, hf, wf), method="trilinear")
     alpha = jnp.where(camera_cut, 0.0, alpha)
-    out = current + (hist_full - current) * alpha[..., None]
+    out = current + (hist_full - current) * alpha[None]
     return jnp.where(jnp.isnan(out), current, out)
 
 
 def integrate_froxels(scattering, max_distance):
     """volumetricLightingIntegration.comp — front-to-back accumulation.
 
-    scattering (D, Hf, Wf, 4) -> integrated (D, Hf, Wf, 4):
+    scattering (4, D, Hf, Wf) -> integrated (4, D, Hf, Wf):
     rgb = accumulated inscattering, a = transmittance to the slice end.
     """
-    d = scattering.shape[0]
+    d = scattering.shape[1]
     zs = jnp.arange(d + 1, dtype=jnp.float32) / d
     depths = froxel_uv_to_depth(zs, max_distance)
-    seg_len = (depths[1:] - depths[:-1]).reshape(d, 1, 1, 1)
+    seg_len = (depths[1:] - depths[:-1]).reshape(d, 1, 1)
 
-    sigma = scattering[..., 3:4]
+    sigma = scattering[3]
     od = sigma * seg_len
-    od_before = jnp.cumsum(od, axis=0) - od  # exclusive prefix
-    trans_before = jnp.exp(-od_before)
-    seg_inscatter = (scattering[..., 0:3]
-                     - scattering[..., 0:3] * jnp.exp(-od)) / jnp.maximum(
-                         sigma, 1e-5)
-    acc = jnp.cumsum(seg_inscatter * trans_before, axis=0)
-    trans_total = jnp.exp(-jnp.cumsum(od, axis=0))
-    return jnp.concatenate([acc, trans_total], axis=-1)
+    od_cum = jnp.cumsum(od, axis=0)
+    trans_before = jnp.exp(-(od_cum - od))
+    inv_sigma = 1.0 / jnp.maximum(sigma, 1e-5)
+    decay = 1.0 - jnp.exp(-od)
+    acc = jnp.stack([
+        jnp.cumsum(scattering[c] * decay * inv_sigma * trans_before, axis=0)
+        for c in range(3)])
+    trans_total = jnp.exp(-od_cum)
+    return jnp.concatenate([acc, trans_total[None]], axis=0)
 
 
 def apply_froxel_fog(color, pixel_depth, integrated, max_distance, noise,
                      quarter: int = 4):
     """Per-pixel fog apply (triangle.frag:131-144): color*T + inscatter.
 
-    Evaluated at 1/quarter resolution with a depth-aware upsample; noise
-    (H, W) in [0,1) jitters the slice lookup like the reference's screen-UV
-    jitter."""
+    integrated (4, D, Hf, Wf); evaluated at 1/quarter resolution with a
+    depth-aware upsample; noise (H, W) in [0,1) jitters the slice lookup
+    like the reference's screen-UV jitter."""
     _, h, w = color.shape
-    d, hf, wf, _ = integrated.shape
+    _, d, hf, wf = integrated.shape
     q = quarter
     depth_q = pixel_depth[::q, ::q]
     noise_q = noise[::q, ::q]
@@ -238,7 +263,6 @@ def apply_froxel_fog(color, pixel_depth, integrated, max_distance, noise,
     # froxel xy for each quarter-res pixel
     fx = jnp.clip((jnp.arange(wq) * q // (w // wf)), 0, wf - 1)
     fy = jnp.clip((jnp.arange(hq) * q // (h // hf)), 0, hf - 1)
-    fog_q = integrated[z_idx, fy[:, None], fx[None, :]]  # (hq, wq, 4) gather
-    fog = jax.image.resize(fog_q, (h, w, 4), method="bilinear")
-    fog = jnp.moveaxis(fog, -1, 0)
+    fog_q = integrated[:, z_idx, fy[:, None], fx[None, :]]  # (4, hq, wq)
+    fog = jax.image.resize(fog_q, (4, h, w), method="bilinear")
     return color * fog[3][None] + fog[0:3]

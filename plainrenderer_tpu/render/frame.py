@@ -184,7 +184,8 @@ def render_frame(
     inv_vp = jnp.linalg.inv(view_proj)
     world_pos = shade.reconstruct_world_position(depth, inv_vp, pw, ph)
     material = post.material_lookup(
-        scene["material_table"], gbuf[raster._CH_MAT], valid)
+        scene["material_table"], gbuf[raster._CH_MAT], valid,
+        interpret=interpret)
     albedo = material[0:3]
     rough_metal = jnp.stack(
         [jnp.ones_like(material[3]), material[3], material[4]], axis=0)
@@ -414,7 +415,7 @@ def render_frame(
             (cw, ch, cd), cam, tan_fov_half, aspect, vs.max_distance)
         last_c = settings.shadows.cascade_count - 1
         m_light = cascade_mats[last_c]
-        cp = cpos.reshape(-1, 3)
+        cp = cpos.reshape(3, -1).T  # (N, 3) coarse points, N ~ 30k
         lxy = cp @ m_light[:2, :3].T + m_light[:2, 3]
         lz = cp @ m_light[2, :3] + m_light[2, 3]
         sres_f = settings.shadows.resolution
@@ -428,12 +429,12 @@ def render_frame(
 
         scat_vol = vol_ops.light_scattering(
             mat_vol, fpos, shadow_c, cam, sun_dir, sun_color,
-            sun_strength_exposed, vs.phase_g)
+            sun_strength_exposed, vs.phase_g, ambient=vs.ambient)
         scat_vol = vol_ops.temporal_reprojection(
-            scat_vol, jnp.moveaxis(state.volumetric_history, 0, -1), cpos,
+            scat_vol, state.volumetric_history, cpos,
             state.prev_view_projection, cam["position"], cam["forward"],
             vs.max_distance, state.frame_index == 0)
-        new_vol_history = jnp.moveaxis(scat_vol, -1, 0)
+        new_vol_history = scat_vol
         integrated = vol_ops.integrate_froxels(scat_vol, vs.max_distance)
 
         pixel_depth_fog = jnp.where(

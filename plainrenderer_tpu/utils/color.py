@@ -129,3 +129,24 @@ def dither_rgb8(color: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
                 ((py.astype(jnp.float32) + 1292.0) * t).astype(jnp.int32))
     noise = (n0 + n1 - 1.0) / 255.0
     return color + noise
+
+
+def _hash32_planar(qx: jnp.ndarray, qy: jnp.ndarray):
+    """hash32 with the 3 output channels as separate planes (lane-friendly)."""
+    x = qx.astype(jnp.uint32)
+    y = qy.astype(jnp.uint32)
+    h = (x * _UI0) ^ (y * _UI1) ^ (x * _UI2)
+    return ((h * _UI0).astype(jnp.float32) * _UIF,
+            (h * _UI1).astype(jnp.float32) * _UIF,
+            (h * _UI2).astype(jnp.float32) * _UIF)
+
+
+def dither_noise_planar(px: jnp.ndarray, py: jnp.ndarray,
+                        time: jnp.ndarray) -> jnp.ndarray:
+    """dither_rgb8's noise term as (3, H, W) planes (same values)."""
+    t = time.astype(jnp.float32)
+    n0 = _hash32_planar((px.astype(jnp.float32) * t).astype(jnp.int32),
+                        (py.astype(jnp.float32) * t).astype(jnp.int32))
+    n1 = _hash32_planar(((px.astype(jnp.float32) + 165.0) * t).astype(jnp.int32),
+                        ((py.astype(jnp.float32) + 1292.0) * t).astype(jnp.int32))
+    return jnp.stack([(a + b - 1.0) / 255.0 for a, b in zip(n0, n1)])

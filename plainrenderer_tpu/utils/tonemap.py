@@ -44,3 +44,19 @@ def aces_fitted(color: jnp.ndarray) -> jnp.ndarray:
     c = _rrt_odt_fit(c)
     c = jnp.einsum("ij,...j->...i", m_out, c)
     return jnp.clip(c, 0.0, 1.0)
+
+
+def aces_fitted_planar(color: jnp.ndarray) -> jnp.ndarray:
+    """aces_fitted for channel-planar (3, H, W) input (same math; keeps the
+    3-wide channel axis off the 128-lane minor dimension)."""
+    r, g, b = color[0], color[1], color[2]
+
+    def mat3(m, r, g, b):
+        return (m[0][0] * r + m[0][1] * g + m[0][2] * b,
+                m[1][0] * r + m[1][1] * g + m[1][2] * b,
+                m[2][0] * r + m[2][1] * g + m[2][2] * b)
+
+    r, g, b = mat3(_ACES_INPUT, r, g, b)
+    r, g, b = _rrt_odt_fit(r), _rrt_odt_fit(g), _rrt_odt_fit(b)
+    r, g, b = mat3(_ACES_OUTPUT, r, g, b)
+    return jnp.clip(jnp.stack([r, g, b]), 0.0, 1.0)

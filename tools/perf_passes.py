@@ -101,13 +101,48 @@ def main():
             jnp.ones(corners.shape[0], bool), view_proj, view_proj, pw, ph)
         pairs = raster.build_pairs(setup, nty, ntx)
         pe, pa = raster.gather_pair_setups(setup, pairs, True)
-        return pe, pa, pairs.pair_tri, pairs.tile_start, pairs.tile_groups
+        return pe, pa, pairs.pair_tri, pairs.tile_start, pairs.tile_count
 
     t = timed(lambda: geom(scene["corners"], scene["corner_uvs"],
                            scene["corner_normals"], scene["corner_tangents"],
                            scene["corner_bitangents"], scene["tri_material"]),
               n=args.frames)
     rec("geometry+binning+gather", t)
+
+    # --- binning sub-steps ---
+    t = timed(lambda: raster.geometry_setup(
+        scene["corners"], scene["corner_uvs"], scene["corner_normals"],
+        scene["corner_tangents"], scene["corner_bitangents"],
+        scene["tri_material"], jnp.ones(scene["corners"].shape[0], bool),
+        view_proj, view_proj, pw, ph), n=args.frames)
+    rec("  geometry_setup only", t)
+    setup0 = raster.geometry_setup(
+        scene["corners"], scene["corner_uvs"], scene["corner_normals"],
+        scene["corner_tangents"], scene["corner_bitangents"],
+        scene["tri_material"], jnp.ones(scene["corners"].shape[0], bool),
+        view_proj, view_proj, pw, ph)
+    t = timed(lambda s: raster.build_pairs(s, nty, ntx), setup0,
+              n=args.frames)
+    rec("  build_pairs only", t)
+    pairs0 = raster.build_pairs(setup0, nty, ntx)
+    t = timed(lambda s, p: raster.gather_pair_setups(s, p, True), setup0,
+              pairs0, n=args.frames)
+    rec("  gather_pair_setups only", t)
+
+    # shadow-view prep (cull=none, no attrs, 1024^2)
+    sres0 = settings.shadows.resolution
+    t = timed(lambda: (lambda s: (raster.build_pairs(
+        s, sres0 // raster.TILE_H, sres0 // raster.TILE_W),
+        raster.gather_pair_setups(s, raster.build_pairs(
+            s, sres0 // raster.TILE_H, sres0 // raster.TILE_W), False)))(
+        raster.geometry_setup(
+            scene["corners"], scene["corner_uvs"], scene["corner_normals"],
+            scene["corner_tangents"], scene["corner_bitangents"],
+            scene["tri_material"], jnp.ones(scene["corners"].shape[0], bool),
+            view_proj, view_proj, sres0, sres0, cull="none",
+            with_attrs=False)), n=args.frames)
+    rec(f"shadow geometry+binning {sres0}^2 (x"
+        f"{settings.shadows.cascade_count})", t)
 
     setup = raster.geometry_setup(
         scene["corners"], scene["corner_uvs"], scene["corner_normals"],
@@ -249,6 +284,55 @@ def main():
     t = timed(lambda h: exposure_ops.compute_histogram(h, jnp.asarray(1.0)),
               hdr, n=args.frames)
     rec("exposure histogram", t)
+
+    # volumetrics chain (froxel grid w/8 x h/8 x 64)
+    from plainrenderer_tpu.config import VolumetricsSettings
+    from plainrenderer_tpu.ops import volumetrics as vol_ops
+
+    vs = VolumetricsSettings()
+    fd, fh, fw = 64, ph // 8, pw // 8
+    tanf = math.tan(math.radians(frame_mod.FOV_DEG) / 2)
+
+    def vol_chain(hist):
+        fpos = vol_ops.froxel_world_positions(
+            (fw, fh, fd), cam, tanf, pw / ph, vs.max_distance)
+        mat = vol_ops.material_volume(fpos, vs, jnp.zeros(3))
+        cd, ch, cw = fd // 4, fh // 4, fw // 4
+        cpos = vol_ops.froxel_world_positions(
+            (cw, ch, cd), cam, tanf, pw / ph, vs.max_distance)
+        scat = vol_ops.light_scattering(
+            mat, fpos, jnp.ones((cd, ch, cw)), cam,
+            jnp.asarray([0.5, -0.7, 0.5]), jnp.ones(3), jnp.asarray(50.0),
+            vs.phase_g, ambient=vs.ambient)
+        scat = vol_ops.temporal_reprojection(
+            scat, hist, cpos, view_proj, cam["position"], cam["forward"],
+            vs.max_distance, jnp.asarray(False))
+        integ = vol_ops.integrate_froxels(scat, vs.max_distance)
+        return vol_ops.apply_froxel_fog(
+            hdr, jnp.full((ph, pw), 5.0), integ, vs.max_distance, noise)
+
+    hist_vol = jnp.zeros((4, fd, fh, fw))
+    t = timed(vol_chain, hist_vol, n=args.frames)
+    rec("volumetrics chain (all passes)", t)
+
+    # texture sampling
+    if "tex_word0" in scene:
+        from plainrenderer_tpu.assets.textures import MAX_MIPS
+        from plainrenderer_tpu.ops import texture as texture_ops
+
+        t = timed(lambda gb: texture_ops.sample_materials(
+            gb[raster._CH_U:raster._CH_U + 2],
+            gb[raster._CH_DUDX:raster._CH_DUDX + 4],
+            gb[raster._CH_MAT], valid,
+            scene["mat_tex"], scene["tex_info"],
+            scene["tex_word0"], scene["tex_word1"],
+            n_mips=MAX_MIPS, mip_bias=-1.0), gbuf, n=args.frames)
+        rec("texture sampling kernel", t)
+
+    t = timed(lambda gb: post.material_lookup(
+        scene["material_table"], gb[raster._CH_MAT], valid), gbuf,
+        n=args.frames)
+    rec("material constant lookup", t)
 
     total = sum(ms for _, ms in rows)
     print(f"{'SUM of standalone passes':32s} {total:8.3f} ms")
