@@ -83,6 +83,7 @@ def main():
         else:
             t0 = time.time()
             gsdf = sdf_scene.build_scene_sdf(rs, scene_data,
+                                             use_jax_bake=True,
                                              bake_resolution_cap=32)
             print(f"# SDF bake: {time.time()-t0:.1f}s", file=sys.stderr)
             np.savez_compressed(

@@ -67,7 +67,10 @@ def _merge(parts):
         tangents=tangents,
         bitangents=bitangents,
         uvs=np.concatenate(uvs),
-        texture_paths=TexturePaths(),
+        # non-empty sdf marker: an EMPTY sdf path means the reference's
+        # noSDF tag (ModelImport.cpp:237-253) and would silently exclude
+        # every procedural mesh from the composited GI volume
+        texture_paths=TexturePaths(sdf="procedural://bake"),
         mean_albedo=np.full(3, 0.5, np.float32),
     )
 

@@ -37,15 +37,18 @@ class TAASettings:
 
 @dataclasses.dataclass(frozen=True)
 class SDFTraceSettings:
-    """SDFGI.h:17-29."""
+    """SDFGI.h:17-29.
+
+    The reference's per-tile instance-culling knobs (useHiZCulling,
+    maxInstancesPerTile — sdfCulling.inc:4-5) do not exist here: the
+    per-pixel instance loop they bounded is replaced by one composited
+    global SDF volume (ops/sdf_scene.py), so there is nothing to cull."""
 
     enabled: bool = True
     half_resolution: bool = True
-    use_hi_z_culling: bool = True
-    strict_influence_radius_cutoff: bool = False
+    strict_influence_radius_cutoff: bool = False  # SDFGI.h:21
     influence_radius: float = 3.0
     trace_steps: int = 64  # reference uses up to 128 (SDF.inc)
-    max_instances_per_tile: int = 32  # reference cap 100 (sdfCulling.inc:4-5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +78,16 @@ class BloomSettings:
 
 
 @dataclasses.dataclass(frozen=True)
+class SDFDebugSettings:
+    """SDFGI.h:9-15 — SDF debug visualisation.
+
+    visualisation_mode: 0 none, 1 lit SDF, 2 trace-window occupancy (the
+    reference's camera-tile-usage analog), 3 normals, 4 raymarch steps."""
+
+    visualisation_mode: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class ShadowSettings:
     """Cascaded sun shadows (RenderFrontend shadow constants + lightMatrix)."""
 
@@ -82,6 +95,7 @@ class ShadowSettings:
     resolution: int = 1024  # reference uses 2048 (RenderFrontend.cpp:49)
     pcf_taps: int = 12  # triangle.frag:110
     sample_radius: float = 0.03  # world-space, sunShadowCascades.inc:5
+    debug_cascade_colors: bool = False  # sunShadowCascades.inc:23-31 tint
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +107,7 @@ class RenderSettings:
     shading: ShadingConfig = ShadingConfig()
     taa: TAASettings = TAASettings()
     sdf_trace: SDFTraceSettings = SDFTraceSettings()
+    sdf_debug: SDFDebugSettings = SDFDebugSettings()
     volumetrics: VolumetricsSettings = VolumetricsSettings()
     bloom: BloomSettings = BloomSettings()
     shadows: ShadowSettings = ShadowSettings()

@@ -123,6 +123,73 @@ def _box_upsample(src, out_h: int, out_w: int):
     return _stencil(up, merged)
 
 
+@jax.named_scope("bloom")
+def compute_bloom_banded(color, strength: float, blur_radius: float,
+                         mip_count: int, axis_name: str, n_dev: int,
+                         halo_extend_fn):
+    """Split-frame bloom with EXACT single-device parity.
+
+    The pyramid's deep mips see the whole frame, so band-local evaluation
+    (even with a generous halo) diverges near band borders. Instead:
+      - mips 1-2 are computed band-locally from an 8-row halo (enough real
+        rows that every band mip-2 row equals the single-device one);
+      - band mip-2 rows are all_gather'd into the full mip 2 (H/4 x W/4 —
+        ~1.5 MB at 1080p, trivial ICI traffic), and mips 3+ plus the
+        upsample chain down to mip 1 run REPLICATED on every device
+        (cheap: <= 1/16 of the full-res pixel count);
+      - the final mip-0 rows are recomposed band-locally from the halo'd
+        band mip 1 and the band's slice of the replicated mip-1 chain.
+    """
+    hb, w = color.shape[-2:]
+    # blur_radius > 2.5 would out-reach the fixed mip-1 halo margins
+    if n_dev <= 1 or mip_count <= 2 or hb % 16 != 0 or blur_radius > 2.5:
+        return compute_bloom(color, strength, blur_radius, mip_count)
+
+    ext = halo_extend_fn(color, 8)  # (3, hb+16, w)
+    m1e = downsample_13tap(ext)  # mip-1 rows [-4, hb/2+4)
+    m2e = downsample_13tap(m1e)  # mip-2 rows [-2, hb/4+2)
+    m2_band = m2e[:, 2:-2]
+    m2_full = jax.lax.all_gather(m2_band, axis_name, axis=1, tiled=True)
+
+    mips_full = [m2_full]
+    for _ in range(mip_count - 3):
+        if mips_full[-1].shape[-1] < 4 or mips_full[-1].shape[-2] < 4:
+            break
+        mips_full.append(downsample_13tap(mips_full[-1]))
+
+    prev = None  # replicated upsample chain back down to mip-2 res
+    for t in range(len(mips_full) - 2, -1, -1):
+        h2, w2 = mips_full[t].shape[-2:]
+        out = _box_upsample(tent9(mips_full[t + 1], blur_radius), h2, w2)
+        if prev is not None:
+            out = out + _box_upsample(prev, h2, w2)
+        prev = out
+    u2_full = prev  # None when only mip 2 exists
+
+    # u1 (mip-1 res), replicated
+    h1, w1 = m2_full.shape[-2] * 2, m2_full.shape[-1] * 2
+    u1_full = _box_upsample(tent9(m2_full, blur_radius), h1, w1)
+    if u2_full is not None:
+        u1_full = u1_full + _box_upsample(u2_full, h1, w1)
+
+    def box_up_crop(src_1halo):
+        """2x upsample of band rows carrying a 1-row halo -> exact band."""
+        up = _box_upsample(src_1halo, src_1halo.shape[-2] * 2, w)
+        return up[:, 2:-2]
+
+    # band slice of u1 with a 1-row halo (edge-padded at frame borders to
+    # match the conv's clamp semantics)
+    hb1 = hb // 2
+    u1_pad = jnp.pad(u1_full, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    row0 = jax.lax.axis_index(axis_name) * hb1
+    u1_band = jax.lax.dynamic_slice_in_dim(u1_pad, row0, hb1 + 2, axis=1)
+
+    t1_band = tent9(m1e, blur_radius)[:, 3:-3]  # mip-1 rows [-1, hb1+1)
+    bloom = box_up_crop(t1_band) + box_up_crop(u1_band)
+    return color + (bloom - color) * strength
+
+
+@jax.named_scope("bloom")
 def compute_bloom(color, strength: float, blur_radius: float, mip_count: int):
     """Bloom.cpp:56-144 — full chain; color (3, H, W) -> bloomed (3, H, W).
 

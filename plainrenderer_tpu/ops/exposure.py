@@ -25,6 +25,7 @@ MIN_LUMINANCE = 0.001  # RenderFrontend.cpp:1066
 MAX_LUMINANCE = 200000.0  # RenderFrontend.cpp:1067
 
 
+@jax.named_scope("exposure.histogram")
 def compute_histogram(color, previous_exposure, n_bins: int = N_BINS,
                       min_lum: float = MIN_LUMINANCE,
                       max_lum: float = MAX_LUMINANCE,
@@ -63,6 +64,7 @@ def _offset_from_scene_ev(scene_ev100):
     return dark_offset + (light_offset - dark_offset) * t
 
 
+@jax.named_scope("exposure.pre_expose")
 def pre_expose_lights(histogram, previous_exposure, sun_strength,
                       exposure_offset, adaption_speed_ev_per_sec, delta_time,
                       pixel_count, n_bins: int = N_BINS,

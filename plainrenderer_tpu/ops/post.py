@@ -18,18 +18,22 @@ from ..utils import tonemap as tonemaplib
 from .raster import TILE_H, TILE_W
 
 
-def tonemap_pass(hdr, time, dither: bool = True):
+@jax.named_scope("post.tonemap")
+def tonemap_pass(hdr, time, dither: bool = True, row_offset=0):
     """hdr (3, H, W) linear -> (H, W, 3) uint8 sRGB (tonemapping.comp).
 
     All math runs channel-planar — (H, W, 3) arrays put the 3-wide channel
     axis on the 128-lane minor dimension and waste ~98% of the VPU; the HWC
-    interleave happens once, on the final uint8 image."""
+    interleave happens once, on the final uint8 image. row_offset: the
+    band's first GLOBAL row in split-frame mode, so the dither hash matches
+    the single-device image."""
     c = tonemaplib.aces_fitted_planar(hdr)
     c = colorlib.linear_to_srgb(c)
     if dither:
         h, w = c.shape[-2:]
         px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
-        py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+        py = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                              (h, w)) + row_offset
         noise = colorlib.dither_noise_planar(px, py,
                                              jnp.asarray(time, jnp.float32))
         c = c + noise
@@ -37,6 +41,7 @@ def tonemap_pass(hdr, time, dither: bool = True):
     return jnp.moveaxis(u8, 0, -1)
 
 
+@jax.named_scope("post.material_lookup")
 def material_lookup(material_table, material_ids, valid,
                     interpret: bool = False):
     """Per-pixel material constants without gathers.

@@ -78,6 +78,7 @@ def _edge_coeffs(xa, ya, xb, yb):
     return a, b, c
 
 
+@jax.named_scope("raster.geometry_setup")
 def geometry_setup(
     corners: jnp.ndarray,  # (T, 3, 3) world-space corner positions
     corner_uvs: jnp.ndarray,  # (T, 3, 2)
@@ -249,6 +250,7 @@ def _fill_forward(values_per_tri, offsets, p_max):
     return jnp.cumsum(acc)
 
 
+@jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 pairs_per_tri: float = 4.0) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
@@ -334,6 +336,7 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     )
 
 
+@jax.named_scope("raster.gather_pair_setups")
 def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
                        with_attrs: bool):
     """Duplicate per-triangle setups into pair order (contiguous-row takes).
@@ -497,6 +500,7 @@ def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
                         depth_clamp=True)
 
 
+@jax.named_scope("raster.depth")
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
                     n_tiles_x: int, interpret: bool = False):
     """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity).
@@ -627,6 +631,7 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     gbuf_ref[_CH_MAT] = coeff_ref[47]
 
 
+@jax.named_scope("raster.gbuffer")
 def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
                       n_tiles_y: int, n_tiles_x: int, interpret: bool = False):
     """Main-view rasterization producing depth + visibility + G-buffer.

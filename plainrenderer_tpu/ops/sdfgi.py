@@ -120,6 +120,7 @@ def _trace_kernel(
     out_ref,  # (6, TILE_H, TILE_W): Y_SH(4) + CoCg(2)
     win_sdf, win_alb, sems,
     *, steps: int, influence: float, sky_h: int, sky_w: int,
+    strict: bool = False,
 ):
     ox = meta_ref[0, 0]
     oy = meta_ref[0, 1]
@@ -128,6 +129,9 @@ def _trace_kernel(
     vd = meta_ref[0, 4].astype(jnp.int32)
     vh = meta_ref[0, 5].astype(jnp.int32)
     vw = meta_ref[0, 6].astype(jnp.int32)
+    # influence clamped to the window half-extent (slot 7; the static
+    # `influence` arg is only an upper bound — voxel_size is traced)
+    influence_eff = meta_ref[0, 7]
 
     valid = valid_ref[...] > 0.0
     # window origin (brick coords) around the masked mean surface point
@@ -229,7 +233,7 @@ def _trace_kernel(
         d_hit = jnp.where(new_hit, d, d_hit)
         dprev_hit = jnp.where(new_hit, d_prev, dprev_hit)
         hit_f = jnp.maximum(hit_f, new_hit.astype(jnp.float32))
-        alive = (alive_f > 0.0) & ~new_hit & (t < influence)
+        alive = (alive_f > 0.0) & ~new_hit & (t < influence_eff)
         step_len = jnp.maximum(jnp.abs(d), voxel * 0.5)
         t = jnp.where(alive, t + step_len, t)
         return (i + 1, t, d, d_hit, dprev_hit, hit_f,
@@ -242,6 +246,10 @@ def _trace_kernel(
     # Claybook planar refinement (SDF.inc:160-168)
     refine = d_hit / jnp.maximum(1.0 - (d_hit - dprev_hit), 1e-3)
     t_hit = t + jnp.where(hit, refine, 0.0)
+    if strict:
+        # strictInfluenceRadiusCutoff (SDFGI.h:21): hits past the influence
+        # radius are discarded (fall through to the sky term)
+        hit = hit & (t_hit <= influence_eff)
     hx = px + dx * t_hit
     hy = py + dy * t_hit
     hz = pz + dz * t_hit
@@ -334,11 +342,12 @@ def _trace_kernel(
     out_ref[5] = jnp.where(valid, cg, 0.0)
 
 
+@jax.named_scope("sdfgi.trace")
 def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
              albedo_packed, volume_origin, voxel_size, volume_dims,
              sun_direction, sun_color, sun_strength, *,
              steps: int = 32, influence: float = 8.0,
-             interpret: bool = False):
+             strict: bool = False, interpret: bool = False):
     """Trace one GI ray per pixel. All image inputs at trace resolution
     (typically half-res). Returns (Y_SH (4,H,W), CoCg (2,H,W))."""
     _, h, w = world_pos.shape
@@ -351,6 +360,10 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
     meta = meta.at[0, 4].set(volume_dims[0])
     meta = meta.at[0, 5].set(volume_dims[1])
     meta = meta.at[0, 6].set(volume_dims[2])
+    # effective influence: never past the brick window around the tile mean
+    meta = meta.at[0, 7].set(jnp.minimum(
+        jnp.asarray(influence, jnp.float32),
+        (WINDOW // 2 - 2) * jnp.asarray(voxel_size, jnp.float32)))
 
     sun = jnp.zeros((1, 8), jnp.float32)
     sun = sun.at[0, 0:3].set(sun_direction)
@@ -359,7 +372,7 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
 
     kernel = functools.partial(
         _trace_kernel, steps=steps, influence=influence,
-        sky_h=sky_h, sky_w=sky_w)
+        sky_h=sky_h, sky_w=sky_w, strict=strict)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
@@ -423,6 +436,7 @@ def _clamp_offs(p, offs):
             for dy, dx in offs]
 
 
+@jax.named_scope("sdfgi.neighborhood_resolve")
 def neighborhood_resolve(y_sh, cocg, normal, lin_depth):
     """sdfDiffuseTrace.comp:66-116 — 3x3 normal/depth-guided gaussian over
     the per-ray results (the reference's 8x8 shared-memory resolve)."""
@@ -475,6 +489,7 @@ def _spiral_offsets(seed: int, rotation: int):
     return offs
 
 
+@jax.named_scope("sdfgi.spatial_filter")
 def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
                    radius_world: float, proj_scale, seed: int):
     """filterIndirectDiffuseSpatial.comp — tangent-plane-weighted disc blur.
@@ -529,6 +544,7 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
     return acc_y / total[None], acc_c / total[None]
 
 
+@jax.named_scope("sdfgi.temporal_filter")
 def temporal_filter_gi(y_sh, cocg, hist_y_sh, hist_cocg, ok, motion_mag_px,
                        camera_cut):
     """filterIndirectDiffuseTemporal.comp — EMA alpha 0.8 -> 0.6 with the
@@ -549,6 +565,7 @@ def temporal_filter_gi(y_sh, cocg, hist_y_sh, hist_cocg, ok, motion_mag_px,
     return out_y, out_c
 
 
+@jax.named_scope("sdfgi.upscale")
 def upscale_half_to_full(y_sh_half, cocg_half, depth_full, depth_half,
                          near, far):
     """indirectLightUpscale.comp — depth-aware 2x upscale: nearest-depth

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..utils import sh
@@ -94,6 +95,7 @@ def _normalize(v):
     return v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True)), 1e-12)
 
 
+@jax.named_scope("shade.forward")
 def shade_forward(
     *,
     config: ShadingConfig,

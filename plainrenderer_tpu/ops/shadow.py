@@ -51,6 +51,7 @@ def linearize_depth(depth, near, far):
     return near * far / (far + (-depth + 1.0) * (near - far))
 
 
+@jax.named_scope("shadow.light_matrices")
 def compute_cascade_info(
     depth_min, depth_max,  # reverse-Z scalars from the hi-Z lowest mip
     camera_position, camera_forward, camera_up, camera_right,
@@ -59,6 +60,7 @@ def compute_cascade_info(
     cascade_count: int,
     highest_cascade_extra_padding,  # SDF influence radius (lightMatrix push)
     highest_cascade_min_far,  # volumetric max distance
+    sample_radius: float = SHADOW_SAMPLE_RADIUS,
 ):
     """lightMatrix.comp main() — returns (matrices (C,4,4), splits (4,),
     light_space_scale (C,2)). All jnp; runs inside the frame program (the
@@ -121,8 +123,8 @@ def compute_cascade_info(
         if c == cascade_count - 1:
             min_p = min_p - highest_cascade_extra_padding
             max_p = max_p + highest_cascade_extra_padding
-        min_p = min_p - SHADOW_SAMPLE_RADIUS * 2
-        max_p = max_p + SHADOW_SAMPLE_RADIUS * 2
+        min_p = min_p - sample_radius * 2
+        max_p = max_p + sample_radius * 2
         scale = 2.0 / (max_p - min_p)
         offset = -0.5 * (max_p + min_p) * scale
         p = jnp.zeros((4, 4), jnp.float32)
@@ -153,7 +155,7 @@ def _shadow_resolve_kernel(
     window,  # scratch (win_h, win_w) f32
     sem,
     *, cascade_count: int, taps: int, map_size: int,
-    win_h: int, win_w: int,
+    win_h: int, win_w: int, sample_radius: float,
 ):
     valid = lindepth_ref[...] > 0.0
     lin_depth = lindepth_ref[...]
@@ -208,8 +210,8 @@ def _shadow_resolve_kernel(
             # spiral PCF (triangle.frag:101-119): offsets in texels
             scale_x = cascade_ref[c, 16]
             scale_y = cascade_ref[c, 17]
-            off_scale_u = SHADOW_SAMPLE_RADIUS * scale_x * 0.5 * map_size
-            off_scale_v = SHADOW_SAMPLE_RADIUS * scale_y * 0.5 * map_size
+            off_scale_u = sample_radius * scale_x * 0.5 * map_size
+            off_scale_v = sample_radius * scale_y * 0.5 * map_size
             acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
             for i in range(taps):
                 d = jnp.sqrt((i + 0.5 * noise) / taps)
@@ -229,9 +231,11 @@ def _shadow_resolve_kernel(
     out_ref[...] = jnp.where(valid, out_ref[...], 1.0)
 
 
+@jax.named_scope("shadow.resolve_pcf")
 def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
                    cascade_matrices, cascade_scales, splits,
                    cascade_count: int, taps: int = 12,
+                   sample_radius: float = SHADOW_SAMPLE_RADIUS,
                    interpret: bool = False):
     """Per-pixel sun shadow factor (H, W) in [0, 1].
 
@@ -251,7 +255,8 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
     win_w = min(WINDOW_W, map_size)
     kernel = functools.partial(
         _shadow_resolve_kernel, cascade_count=cascade_count, taps=taps,
-        map_size=map_size, win_h=win_h, win_w=win_w)
+        map_size=map_size, win_h=win_h, win_w=win_w,
+        sample_radius=sample_radius)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),

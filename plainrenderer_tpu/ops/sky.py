@@ -299,6 +299,7 @@ def bilinear_lookup_matmul(lut, u, v):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "size", "samples"))
+@jax.named_scope("sky.lut")
 def bake_sky_lut(sun_direction, sun_strength_exposed, multiscatter_lut,
                  settings: AtmosphereSettings = AtmosphereSettings(),
                  size=SKY_LUT_SIZE, samples: int = 30):
@@ -411,9 +412,13 @@ def view_directions(width, height, cam_forward, cam_up, cam_right,
     f = jnp.asarray(cam_forward, jnp.float32)
     u = jnp.asarray(cam_up, jnp.float32)
     r = jnp.asarray(cam_right, jnp.float32)
+    # NOTE the -y: ray = forward + tan*(aspect*x*right - y*up)
+    # (screenToWorld.inc:4-9). Verified against the projection matrix: a
+    # ray built for screen row r must project back to that row's ndc_y
+    # (with +y the sky/fog grids were vertically mirrored vs the raster).
     d = jnp.stack([
         f[c] + tan_fov_half * aspect * ndc_x * r[c]
-        + tan_fov_half * ndc_y * u[c]
+        - tan_fov_half * ndc_y * u[c]
         for c in range(3)])
     return d * jax.lax.rsqrt(
         jnp.sum(d * d, axis=0, keepdims=True))
@@ -422,6 +427,7 @@ def view_directions(width, height, cam_forward, cam_up, cam_right,
 SUN_DIAMETER_DEG = 0.535  # Sky.cpp:243
 
 
+@jax.named_scope("sky.apply")
 def apply_sky(color, depth_valid, sky_lut, transmission_lut, view_dirs_full,
               sun_direction, sun_strength_exposed, coarse_factor: int = 8):
     """Composite sky radiance + sun disc into sky pixels.

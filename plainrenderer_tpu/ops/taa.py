@@ -44,6 +44,7 @@ WIN_H = TILE_H + 2 * MARGIN_Y  # 32
 WIN_W = TILE_W + 2 * MARGIN_X  # 384
 
 
+@jax.named_scope("taa.motion")
 def compute_motion(prev_ndc, valid, cur_jitter, prev_jitter, width, height):
     """depthPrepass.frag:33-40 — motion in UV units; uv_last = uv + motion.
 
@@ -300,6 +301,7 @@ def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
     out_ref[2 * n_planes] = in_window.astype(jnp.float32)
 
 
+@jax.named_scope("taa.history_resample")
 def resample_packed_planes(planes_packed, motion, width, height,
                            interpret: bool = False):
     """Motion-offset bilinear resample of (P, H, W) int32 f16-pair planes.
@@ -347,6 +349,7 @@ def resample_packed_planes(planes_packed, motion, width, height,
     return out[:2 * n_planes], out[2 * n_planes] > 0.5
 
 
+@jax.named_scope("taa.supersampling")
 def temporal_supersampling(
     color, prev_color_packed, prev_lum_depth_packed, motion, depth,
     near, far, width, height, camera_cut, *,
@@ -513,6 +516,7 @@ def _sample_history(history_packed, motion, width, height, tech: int,
     return hist, ok
 
 
+@jax.named_scope("taa.temporal_filter")
 def temporal_filter(
     color, history_packed, motion, depth, jitter_px,
     camera_cut, width, height, *,

@@ -188,6 +188,7 @@ def _sample_kernel(
     out_ref[8] = ok.astype(jnp.float32)
 
 
+@jax.named_scope("texture.sample")
 def sample_materials(uv, duv, mat_id, valid, mat_tex, info, word0, word1,
                      *, n_mips: int, mip_bias: float = 0.0,
                      interpret: bool = False):

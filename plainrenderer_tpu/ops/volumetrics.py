@@ -121,13 +121,15 @@ def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
     r = cam["right"]
     ndc_x = jnp.broadcast_to(xs[None, :], (hf, wf))
     ndc_y = jnp.broadcast_to(ys[:, None], (hf, wf))
+    # -y: matches the projection's row mapping (see sky.view_directions)
     return jnp.stack([
         cam["position"][c]
         + (f[c] + tan_fov_half * aspect * ndc_x * r[c]
-           + tan_fov_half * ndc_y * u[c])[None] * depth[:, None, None]
+           - tan_fov_half * ndc_y * u[c])[None] * depth[:, None, None]
         for c in range(3)])  # ray is unnormalized; dot(ray, f) == 1
 
 
+@jax.named_scope("volumetrics.material")
 def material_volume(world_pos, settings, wind_offset, noise_stride: int = 2):
     """froxelVolumeMaterial.comp — (4, D, Hf, Wf): scatter rgb + absorption.
 
@@ -151,16 +153,20 @@ def material_volume(world_pos, settings, wind_offset, noise_stride: int = 2):
     return jnp.stack([scatter, scatter, scatter, absorption])
 
 
+@jax.named_scope("volumetrics.scattering")
 def light_scattering(material, world_pos, shadow_coarse, cam, sun_dir,
-                     sun_color, sun_strength, phase_g, ambient: float = 0.02):
+                     sun_color, sun_strength, phase_g, ambient: float = 0.02,
+                     halo_fn=None):
     """froxelLightScattering.comp — per-froxel inscattering + transmittance.
 
     material/world_pos channel-planar; shadow_coarse (Dc, Hc, Wc) shadow
     factors on a coarse froxel grid, upsampled here (replaces the per-froxel
     shadow-map tap). ambient: VolumetricsSettings.ambient
-    (froxelLightScattering.comp constant-ambient term)."""
+    (froxelLightScattering.comp constant-ambient term). halo_fn (band
+    mode): exchanges one coarse row with the neighbor bands so the
+    upsample interpolates across band borders."""
     _, d, hf, wf = material.shape
-    shadow = jax.image.resize(shadow_coarse, (d, hf, wf), method="trilinear")
+    shadow = _resize_coarse(shadow_coarse, (d, hf, wf), halo_fn)
     vx = world_pos[0] - cam["position"][0]
     vy = world_pos[1] - cam["position"][1]
     vz = world_pos[2] - cam["position"][2]
@@ -180,9 +186,25 @@ def light_scattering(material, world_pos, shadow_coarse, cam, sun_dir,
     return jnp.concatenate([inscatter, trans[None]], axis=0)
 
 
+@jax.named_scope("volumetrics.reprojection")
+def _resize_coarse(x, fine_shape, halo_fn=None):
+    """Trilinear coarse->fine froxel upsample; with halo_fn the coarse rows
+    are extended by one neighbor-band row (and the fine result cropped) so
+    band-border interpolation matches the single-device volume."""
+    *lead, d, hf, wf = (*x.shape[:-3], *fine_shape)
+    ratio = fine_shape[-2] // x.shape[-2]
+    if halo_fn is None:
+        return jax.image.resize(x, tuple(lead) + tuple(fine_shape),
+                                method="trilinear")
+    ext = halo_fn(x)  # (+1 coarse row each side)
+    out = jax.image.resize(
+        ext, tuple(lead) + (d, hf + 2 * ratio, wf), method="trilinear")
+    return out[..., ratio:-ratio, :]
+
+
 def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
                           prev_cam_pos, prev_cam_forward, max_distance,
-                          camera_cut):
+                          camera_cut, halo_fn=None):
     """volumeLightingReprojection.comp — EMA alpha 0.95 with previous-frustum
     reprojection, evaluated on a coarse grid and upsampled.
 
@@ -213,13 +235,14 @@ def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
     alpha_c = jnp.where(ok, 0.95, 0.0).reshape(dc, hc, wc)
     hist_c = hist.reshape(4, dc, hc, wc)
 
-    alpha = jax.image.resize(alpha_c, (d, hf, wf), method="trilinear")
-    hist_full = jax.image.resize(hist_c, (4, d, hf, wf), method="trilinear")
+    alpha = _resize_coarse(alpha_c, (d, hf, wf), halo_fn)
+    hist_full = _resize_coarse(hist_c, (d, hf, wf), halo_fn)
     alpha = jnp.where(camera_cut, 0.0, alpha)
     out = current + (hist_full - current) * alpha[None]
     return jnp.where(jnp.isnan(out), current, out)
 
 
+@jax.named_scope("volumetrics.integrate")
 def integrate_froxels(scattering, max_distance):
     """volumetricLightingIntegration.comp — front-to-back accumulation.
 
@@ -244,13 +267,16 @@ def integrate_froxels(scattering, max_distance):
     return jnp.concatenate([acc, trans_total[None]], axis=0)
 
 
+@jax.named_scope("volumetrics.apply_fog")
 def apply_froxel_fog(color, pixel_depth, integrated, max_distance, noise,
-                     quarter: int = 4):
+                     quarter: int = 4, halo_fn=None):
     """Per-pixel fog apply (triangle.frag:131-144): color*T + inscatter.
 
     integrated (4, D, Hf, Wf); evaluated at 1/quarter resolution with a
     depth-aware upsample; noise (H, W) in [0,1) jitters the slice lookup
-    like the reference's screen-UV jitter."""
+    like the reference's screen-UV jitter. In split-frame band mode halo_fn
+    exchanges one quarter-res row with the neighbor bands so the bilinear
+    upsample interpolates across the band border instead of clamping."""
     _, h, w = color.shape
     _, d, hf, wf = integrated.shape
     q = quarter
@@ -264,5 +290,10 @@ def apply_froxel_fog(color, pixel_depth, integrated, max_distance, noise,
     fx = jnp.clip((jnp.arange(wq) * q // (w // wf)), 0, wf - 1)
     fy = jnp.clip((jnp.arange(hq) * q // (h // hf)), 0, hf - 1)
     fog_q = integrated[:, z_idx, fy[:, None], fx[None, :]]  # (4, hq, wq)
-    fog = jax.image.resize(fog_q, (4, h, w), method="bilinear")
+    if halo_fn is not None:
+        fog_q = halo_fn(fog_q)  # (4, hq + 2, wq)
+        fog = jax.image.resize(fog_q, (4, h + 2 * q, w), method="bilinear")
+        fog = fog[:, q:-q]
+    else:
+        fog = jax.image.resize(fog_q, (4, h, w), method="bilinear")
     return color * fog[3][None] + fog[0:3]

@@ -10,11 +10,13 @@ device runs the full frame program on its band via shard_map:
     zero cross-device fragment traffic);
   - each band renders with an asymmetric sub-frustum (the band rows of the
     full projection), so pixels match a single-device render exactly;
-  - cross-band collectives ride ICI: the exposure histogram is psum-ed so
-    auto-exposure stays globally consistent (the one reduction the frame
-    genuinely needs); stencil passes (TAA/bloom/GI filters) currently
-    operate band-locally — halo exchange at band borders is the known
-    round-2 refinement (a few rows of ppermute traffic per frame);
+  - cross-band collectives ride ICI: the exposure histogram is psum-ed
+    (global auto-exposure), cascade fitting pmin/pmaxes the depth bounds
+    (identical light matrices on every band), and the stencil passes
+    (TAA + history reprojection, the GI filter chain, bloom) exchange
+    16-48 border rows with their neighbors via jax.lax.ppermute before
+    filtering (parallel/halo.py) — band output matches single-device
+    near-exactly (tests/test_parallel.py asserts <= 2 LSB);
   - temporal state lives sharded: each device keeps its band's history in
     its own HBM; no state ever crosses chips.
 

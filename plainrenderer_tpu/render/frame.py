@@ -234,6 +234,7 @@ def render_frame(
             sun_dir, settings.shadows.cascade_count,
             jnp.asarray(settings.sdf_trace.influence_radius, jnp.float32),
             jnp.asarray(settings.volumetrics.max_distance, jnp.float32),
+            sample_radius=settings.shadows.sample_radius,
         )
         sres = settings.shadows.resolution
         s_nty, s_ntx = sres // raster.TILE_H, sres // raster.TILE_W
@@ -271,7 +272,9 @@ def render_frame(
         sun_shadow = shadow.shadow_resolve(
             world_pos, pixel_depth, noise_full, shadow_maps, cascade_mats,
             cascade_scales, splits, settings.shadows.cascade_count,
-            taps=settings.shadows.pcf_taps, interpret=interpret)
+            taps=settings.shadows.pcf_taps,
+            sample_radius=settings.shadows.sample_radius,
+            interpret=interpret)
     else:
         sun_shadow = jnp.ones((ph, pw), jnp.float32)
 
@@ -280,6 +283,23 @@ def render_frame(
     indirect_y_sh = None
     indirect_cocg = None
     new_gi_history = state.gi_history
+    # cross-band halo exchange for stencil passes (parallel/halo.py): band
+    # filters read real neighbor rows instead of clamping at band borders
+    from ..parallel import halo as halo_mod
+
+    n_dev = (full_height // height) if (axis_name is not None
+                                        and full_height) else 1
+
+    def extend(p, n):
+        """Halo-extend rows: neighbor exchange in band mode, edge-pad
+        single-device (same clamp semantics at the outer frame borders, so
+        band and single-device renders agree at frame edges too)."""
+        if n == 0:
+            return p
+        if axis_name is None:
+            return halo_mod.halo_extend(p, n, "", 1)
+        return halo_mod.halo_extend(p, n, axis_name, n_dev)
+
     use_gi = (settings.sdf_trace.enabled
               and settings.shading.indirect_lighting_tech == 0
               and "sdf_volume" in scene)
@@ -324,37 +344,53 @@ def render_frame(
             scene["sdf_voxel_size"], scene["sdf_dims"],
             sun_dir, sun_color, sun_strength_exposed,
             steps=settings.sdf_trace.trace_steps,
+            # the trace kernel clamps the influence to its window
+            # half-extent internally (escapes visible via sdf_debug mode 2)
             influence=settings.sdf_trace.influence_radius * 2.5,
+            strict=settings.sdf_trace.strict_influence_radius_cutoff,
             interpret=interpret)
 
+        # the GI filter chain (resolve -> spatial -> temporal -> spatial)
+        # reaches ~40 half-res rows; one 48-row halo covers the whole chain
+        halo_gi = min(48, gh) // raster.TILE_H * raster.TILE_H
+        y_sh = extend(y_sh, halo_gi)
+        cocg = extend(cocg, halo_gi)
+        gi_normal_e = extend(gi_normal, halo_gi)
+        gi_wpos_e = extend(gi_wpos, halo_gi)
+        gi_lindepth_e = extend(gi_lindepth, halo_gi)
+
         y_sh, cocg = sdfgi.neighborhood_resolve(
-            y_sh, cocg, gi_normal, gi_lindepth)
-        proj_scale = 0.5 * height / tan_fov_half
+            y_sh, cocg, gi_normal_e, gi_lindepth_e)
+        proj_scale = 0.5 * (full_height or height) / tan_fov_half
         y_sh, cocg = sdfgi.spatial_filter(
-            y_sh, cocg, gi_normal, gi_wpos, gi_lindepth, state.frame_index,
-            1.5, proj_scale / stride, seed=0)
+            y_sh, cocg, gi_normal_e, gi_wpos_e, gi_lindepth_e,
+            state.frame_index, 1.5, proj_scale / stride, seed=0)
 
         gi_motion = to_gi_res(motion_for_gi := taa_ops.compute_motion(
             gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
             state.prev_jitter, width, height))
+        gi_motion_e = extend(gi_motion, halo_gi)
         hist_channels, hist_ok = taa_ops.resample_packed_planes(
-            state.gi_history, gi_motion, gw, gh, interpret=interpret)
+            extend(state.gi_history, halo_gi), gi_motion_e, gw, gh,
+            interpret=interpret)
         hist_y_sh = hist_channels[0:4]
         hist_cocg = hist_channels[4:6]
         motion_mag_px = jnp.sqrt(
-            (gi_motion[0] * width) ** 2 + (gi_motion[1] * height) ** 2)
+            (gi_motion_e[0] * width) ** 2 + (gi_motion_e[1] * height) ** 2)
         camera_cut_gi = state.frame_index == 0
         y_sh, cocg = sdfgi.temporal_filter_gi(
             y_sh, cocg, hist_y_sh, hist_cocg, hist_ok, motion_mag_px,
             camera_cut_gi)
-        new_gi_history = jnp.stack([
+        new_gi_history = halo_mod.crop_halo(jnp.stack([
             taa_ops.pack_f16_pair(y_sh[0], y_sh[1]),
             taa_ops.pack_f16_pair(y_sh[2], y_sh[3]),
             taa_ops.pack_f16_pair(cocg[0], cocg[1]),
-        ])
+        ]), halo_gi)
         y_sh, cocg = sdfgi.spatial_filter(
-            y_sh, cocg, gi_normal, gi_wpos, gi_lindepth, state.frame_index,
-            1.0, proj_scale / stride, seed=1)
+            y_sh, cocg, gi_normal_e, gi_wpos_e, gi_lindepth_e,
+            state.frame_index, 1.0, proj_scale / stride, seed=1)
+        y_sh = halo_mod.crop_halo(y_sh, halo_gi)
+        cocg = halo_mod.crop_halo(cocg, halo_gi)
 
         if half:
             gi_depth_half = to_gi_res(depth)
@@ -384,6 +420,19 @@ def render_frame(
         indirect_y_sh=indirect_y_sh,
         indirect_cocg=indirect_cocg,
     )
+
+    if (settings.shadows.debug_cascade_colors
+            and settings.shadows.cascade_count > 0):
+        # sunShadowCascades.inc:23-31 cascade debug tint
+        from ..ops import debugviz
+
+        cascade_idx = jnp.zeros((ph, pw), jnp.int32)
+        for c in range(settings.shadows.cascade_count - 1):
+            cascade_idx = cascade_idx + (
+                pixel_depth >= splits[c]).astype(jnp.int32)
+        hdr = debugviz.cascade_debug_tint(
+            hdr, jnp.where(valid, cascade_idx, -1),
+            settings.shadows.cascade_count)
 
     # --- sky composite (pass 14) ---
     view_dirs = sky.view_directions(
@@ -427,13 +476,18 @@ def render_frame(
         shadow_c = (jnp.clip(lz, 0.0, 1.0) >= smap_depth).astype(jnp.float32)
         shadow_c = shadow_c.reshape(cd, ch, cw)
 
+        coarse_halo = None
+        if axis_name is not None:
+            coarse_halo = lambda p: halo_mod.halo_extend(  # noqa: E731
+                p, 1, axis_name, n_dev)
         scat_vol = vol_ops.light_scattering(
             mat_vol, fpos, shadow_c, cam, sun_dir, sun_color,
-            sun_strength_exposed, vs.phase_g, ambient=vs.ambient)
+            sun_strength_exposed, vs.phase_g, ambient=vs.ambient,
+            halo_fn=coarse_halo)
         scat_vol = vol_ops.temporal_reprojection(
             scat_vol, state.volumetric_history, cpos,
             state.prev_view_projection, cam["position"], cam["forward"],
-            vs.max_distance, state.frame_index == 0)
+            vs.max_distance, state.frame_index == 0, halo_fn=coarse_halo)
         new_vol_history = scat_vol
         integrated = vol_ops.integrate_froxels(scat_vol, vs.max_distance)
 
@@ -445,33 +499,49 @@ def render_frame(
         noise_fog = jnp.tile(
             luts["blue_noise"][state.frame_index % 4],
             (ph // 32 + 1, pw // 32 + 1))[:ph, :pw]
+        fog_halo = None
+        if axis_name is not None:
+            fog_halo = lambda p: halo_mod.halo_extend(  # noqa: E731
+                p, 1, axis_name, n_dev)
         hdr = vol_ops.apply_froxel_fog(
-            hdr, pixel_depth_fog, integrated, vs.max_distance, noise_fog)
+            hdr, pixel_depth_fog, integrated, vs.max_distance, noise_fog,
+            halo_fn=fog_halo)
 
     scene_color = hdr  # pre-TAA color feeds next frame's histogram
 
     # --- TAA (pass 15): optional supersampling pre-pass + main filter ---
     new_taa_luminance = state.taa_luminance
     if settings.taa.enabled:
+        # TAA reach: 3x3 neighborhoods + dilation + the bicubic history
+        # window — one 16-row halo (32 with the supersampling pre-pass)
+        want = 32 if settings.taa.use_separate_supersampling else 16
+        halo_taa = min(want, ph) // raster.TILE_H * raster.TILE_H
         motion = taa_ops.compute_motion(
             gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
             state.prev_jitter, width, height)
+        hdr_e = extend(hdr, halo_taa)
+        motion_e = extend(motion, halo_taa)
+        depth_e = extend(depth, halo_taa)
         camera_cut = state.frame_index == 0
         if settings.taa.use_separate_supersampling:
             from ..ops.color_packing import pack_r11g11b10
             from ..ops.shadow import linearize_depth
 
-            prev_packed = pack_r11g11b10(state.prev_color)
-            prev_ld = taa_ops.pack_f16_pair(
+            prev_packed = extend(pack_r11g11b10(state.prev_color), halo_taa)
+            prev_ld = extend(taa_ops.pack_f16_pair(
                 state.taa_luminance,
-                linearize_depth(state.prev_depth, NEAR_PLANE, FAR_PLANE))
-            hdr, new_taa_luminance = taa_ops.temporal_supersampling(
-                hdr, prev_packed, prev_ld, motion, depth,
+                linearize_depth(state.prev_depth, NEAR_PLANE, FAR_PLANE)),
+                halo_taa)
+            hdr_e, new_taa_luminance = taa_ops.temporal_supersampling(
+                hdr_e, prev_packed, prev_ld, motion_e, depth_e,
                 NEAR_PLANE, FAR_PLANE, width, height, camera_cut,
                 use_tonemapping=settings.taa.supersample_use_tonemapping,
                 interpret=interpret)
-        hdr, taa_history = taa_ops.temporal_filter(
-            hdr, state.taa_history, motion, depth, jitter_px, camera_cut,
+            new_taa_luminance = halo_mod.crop_halo(new_taa_luminance,
+                                                   halo_taa)
+        hdr_e, taa_history = taa_ops.temporal_filter(
+            hdr_e, extend(state.taa_history, halo_taa), motion_e, depth_e,
+            jitter_px, camera_cut,
             width, height,
             use_clipping=settings.taa.use_clipping,
             use_motion_dilation=settings.taa.use_motion_vector_dilation,
@@ -479,18 +549,45 @@ def render_frame(
             history_sampling_tech=settings.taa.history_sampling_tech,
             interpret=interpret,
         )
+        hdr = halo_mod.crop_halo(hdr_e, halo_taa)
+        taa_history = halo_mod.crop_halo(taa_history, halo_taa)
     else:
         taa_history = state.taa_history
 
     # --- bloom (pass 16) ---
     if settings.bloom.enabled:
-        hdr = bloom_ops.compute_bloom(
-            hdr, settings.bloom.strength, settings.bloom.blur_radius,
-            settings.bloom.mip_count)
+        if axis_name is not None:
+            # exact split-frame bloom: band-local fine mips + all_gather'd
+            # coarse pyramid (compute_bloom_banded docstring)
+            hdr = bloom_ops.compute_bloom_banded(
+                hdr, settings.bloom.strength, settings.bloom.blur_radius,
+                settings.bloom.mip_count, axis_name, n_dev,
+                lambda p, n: halo_mod.halo_extend(p, n, axis_name, n_dev))
+        else:
+            hdr = bloom_ops.compute_bloom(
+                hdr, settings.bloom.strength, settings.bloom.blur_radius,
+                settings.bloom.mip_count)
 
     # --- tonemap (pass 17) ---
     time = state.frame_index.astype(jnp.float32) * 0.016
-    image = post.tonemap_pass(hdr, time)[:height, :width]
+    # global dither coordinates: in band mode the hash must see the frame
+    # row, not the band row, to match the single-device image
+    row0 = (jax.lax.axis_index(axis_name) * height
+            if axis_name is not None else 0)
+    image = post.tonemap_pass(hdr, time, row_offset=row0)[:height, :width]
+
+    if settings.sdf_debug.visualisation_mode != 0 and "sdf_volume" in scene:
+        # sdfDebugVisualisation.comp — replaces the final image (the
+        # reference writes the debug trace straight to the color target)
+        from ..ops import debugviz
+
+        dbg = debugviz.sdf_debug_image(
+            settings.sdf_debug.visualisation_mode, scene, cam, sky_lut,
+            luts["transmission"], sun_dir, sun_color, sun_strength_exposed,
+            pw, ph, tan_fov_half, aspect)
+        image = jnp.moveaxis(
+            jnp.clip(jnp.round(dbg[:, :height, :width] * 255.0), 0, 255),
+            0, -1).astype(jnp.uint8)
 
     new_state = state._replace(
         frame_index=state.frame_index + 1,
@@ -565,6 +662,9 @@ def attach_global_sdf(scene_dict: dict, gsdf) -> dict:
     scene_dict["sdf_origin"] = jnp.asarray(gsdf.origin)
     scene_dict["sdf_voxel_size"] = float(gsdf.voxel_size)
     scene_dict["sdf_dims"] = jnp.asarray(vol.shape, jnp.float32)
+    # zero-byte shape token: carries the volume dims STATICALLY (array
+    # leaves are traced under jit; shapes are not) for the debug tracer
+    scene_dict["sdf_shape"] = jnp.zeros(vol.shape + (0,), jnp.float32)
     return scene_dict
 
 

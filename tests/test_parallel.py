@@ -46,11 +46,66 @@ def test_sharded_frame_8_devices():
     assert img.std() > 3
 
 
-def test_band_matches_single_device_geometry():
-    """A 2-band render must produce the same coverage layout as 1-device."""
-    import dataclasses
+def _render_band_vs_single(settings, n, scene, frames=2):
+    """Render `frames` frames single-device and n-band; return u8 images."""
+    from plainrenderer_tpu.render.state import initial_state
 
-    from plainrenderer_tpu.config import BloomSettings, TAASettings
+    luts = frame_mod.bake_static_luts(settings)
+    ext = cam_mod.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
+                                        yaw_deg=20.0)
+    cam = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                  ext.up)
+    dt = jnp.asarray(1 / 60)
+
+    state1 = initial_state(settings.width, settings.height)
+    for _ in range(frames):
+        img1, state1 = frame_mod.render_frame(
+            state1, scene, cam, luts, dt, settings, interpret=True)
+    img1 = np.asarray(img1)
+
+    mesh = sharding.make_mesh(jax.devices()[:n])
+    run, _ = sharding.sharded_frame_fn(settings, n, interpret=True)
+    state = sharding.initial_sharded_state(settings, n)
+    for _ in range(frames):
+        img_stacked, state = run(mesh, state, scene, cam, luts, dt)
+    img2 = sharding.assemble_image(img_stacked)
+    return img1, img2
+
+
+def test_band_matches_single_device_full_stack():
+    """Band rendering with the stencil stack (TAA + bloom + shadows, halo
+    exchange active) must match single-device near-exactly: the band
+    sub-frustum changes edge-function arithmetic by ulps (isolated pixel
+    flips at triangle edges are expected), so assert a high quantile within
+    2 LSB plus seam rows statistically indistinguishable from interior.
+    (Volumetrics has its own looser test below: its coarse-grid
+    reprojection uses nearest-texel fetches whose rounding differs by band,
+    and TAA amplifies those few-LSB fog differences.)"""
+    from plainrenderer_tpu.config import VolumetricsSettings
+
+    n = 2
+    settings = RenderSettings(
+        width=256, height=64 * n,
+        sdf_trace=SDFTraceSettings(enabled=False),
+        volumetrics=VolumetricsSettings(enabled=False),
+        exposure_adaption_speed=1000.0,
+    )
+    scene = build_test_scene()
+    img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
+
+    diff = np.abs(img1.astype(np.int32) - img2.astype(np.int32))
+    assert (diff <= 2).mean() > 0.995, (diff <= 2).mean()
+    # band-border rows (63, 64) no worse than the frame at large
+    seam = diff[63:65]
+    assert (seam <= 2).mean() > 0.99, (seam <= 2).mean()
+
+
+def test_band_fog_close_to_single_device():
+    """Froxel fog band parity: the coarse-grid shadow/reprojection fetches
+    are nearest-texel (rounding differs per band), so fog is a few LSB off
+    in places — assert it stays small and the seam rows show no
+    discontinuity."""
+    from plainrenderer_tpu.config import TAASettings, BloomSettings
 
     n = 2
     settings = RenderSettings(
@@ -61,29 +116,40 @@ def test_band_matches_single_device_geometry():
         exposure_adaption_speed=1000.0,
     )
     scene = build_test_scene()
-    luts = frame_mod.bake_static_luts(settings)
-    ext = cam_mod.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
-                                        yaw_deg=20.0)
-    cam = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
-                                  ext.up)
+    img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
 
-    # single-device reference
-    from plainrenderer_tpu.render.state import initial_state
+    diff = np.abs(img1.astype(np.int32) - img2.astype(np.int32))
+    assert (diff <= 2).mean() > 0.97, (diff <= 2).mean()
+    assert diff.max() <= 8, diff.max()
+    seam = diff[63:65]
+    assert (seam <= 2).mean() > 0.97, (seam <= 2).mean()
 
-    state1 = initial_state(settings.width, settings.height)
-    img1, _ = frame_mod.render_frame(
-        state1, scene, cam, luts, jnp.asarray(1 / 60), settings,
-        interpret=True)
-    img1 = np.asarray(img1)
 
-    mesh = sharding.make_mesh(jax.devices()[:n])
-    run, _ = sharding.sharded_frame_fn(settings, n, interpret=True)
-    state = sharding.initial_sharded_state(settings, n)
-    img_stacked, _ = run(mesh, state, scene, cam, luts, jnp.asarray(1 / 60))
-    img2 = sharding.assemble_image(img_stacked)
+def test_band_matches_single_device_with_gi():
+    """Same parity check with SDF GI enabled: the GI filter chain + history
+    reprojection cross band borders through the 48-row halo exchange."""
+    from plainrenderer_tpu.ops import sdf_scene
+    from plainrenderer_tpu.render import scenebuild
+    from plainrenderer_tpu.assets import procedural
 
-    # same geometry coverage: compare "is sky" masks (exposure may differ
-    # slightly on frame 0 since band exposure adapts from the same zero
-    # state with a psum'd histogram -> actually identical; allow tolerance)
-    diff = np.abs(img1.astype(np.float32) - img2.astype(np.float32))
-    assert (diff < 40).mean() > 0.98
+    n = 2
+    cfg = procedural.AtriumConfig(
+        columns_per_row=2, floor_subdiv=2, box_count=3, box_subdiv=1,
+        column_segments=8)
+    scene_data = procedural.build_atrium_scene(cfg)
+    rs = scenebuild.build_render_scene(scene_data)
+    scene = frame_mod.scene_to_device(rs)
+    gsdf = sdf_scene.build_scene_sdf(rs, scene_data, bake_resolution_cap=16)
+    scene = frame_mod.attach_global_sdf(scene, gsdf)
+
+    settings = RenderSettings(
+        width=256, height=128 * n,
+        sdf_trace=SDFTraceSettings(enabled=True, trace_steps=8),
+        exposure_adaption_speed=1000.0,
+    )
+    img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
+
+    diff = np.abs(img1.astype(np.int32) - img2.astype(np.int32))
+    assert (diff <= 2).mean() > 0.98, (diff <= 2).mean()
+    seam = diff[127:129]
+    assert (seam <= 2).mean() > 0.97, (seam <= 2).mean()

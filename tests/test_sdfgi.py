@@ -151,3 +151,59 @@ def test_gi_filters_shapes():
         y_sh, cocg, ry, rc, jnp.ones((h, w), bool), jnp.zeros((h, w)),
         jnp.asarray(False))
     assert np.isfinite(np.asarray(ty)).all()
+
+
+def test_trace_window_border_no_phantom_hits():
+    """Rays that leave the per-tile 32^3 trace window must terminate as
+    misses (sky), never as phantom hits: beyond the window the kernel
+    samples clamped border distances, which are positive in empty space, so
+    the march runs out of influence. A wall INSIDE the window is hit at the
+    right distance; the same wall moved OUTSIDE stays invisible."""
+    voxel = 0.25
+    d = h = w = 96  # 24 m
+    origin = np.asarray([0.0, 0.0, 0.0], np.float32)
+    xs = (np.arange(w) + 0.5) * voxel
+    # wall: solid for x > x_wall (distance = x_wall - x)
+    def wall_volume(x_wall):
+        dist = (x_wall - xs)[None, None, :]
+        return np.broadcast_to(dist, (d, h, w)).astype(np.float32)
+
+    th, tw = 16, 128
+    # all surface points clustered at x ~ 2 m so the window centers there
+    wpos = jnp.stack([
+        jnp.full((th, tw), 2.0),
+        jnp.full((th, tw), 12.0),
+        jnp.full((th, tw), 12.0)], 0)
+    normal = jnp.stack([jnp.ones((th, tw)), jnp.zeros((th, tw)),
+                        jnp.zeros((th, tw))], 0)
+    dirs = normal  # march straight toward +x
+    valid = jnp.ones((th, tw), bool)
+    sky = jnp.ones((3, 32, 64), jnp.float32) * 0.5
+    sky_y = 0.5  # ycocg luma of (0.5, 0.5, 0.5)
+
+    def run(x_wall):
+        vol = wall_volume(x_wall)
+        packed = sdfgi.quantize_sdf_volume(jnp.asarray(vol), voxel)
+        alb = np.full((d, h, w, 3), 0.9, np.float32)
+        alb_packed = sdfgi.pack_albedo_volume(jnp.asarray(alb))
+        y_sh, cocg = sdfgi.trace_gi(
+            wpos, normal, dirs, valid, sky, packed, alb_packed,
+            jnp.asarray(origin), voxel, jnp.asarray([d, h, w], jnp.float32),
+            jnp.asarray([0.0, -1.0, 0.0]), jnp.ones(3), jnp.asarray(10.0),
+            steps=48, influence=3.5, interpret=True)
+        return np.asarray(y_sh)
+
+    # y_sh[0] = y * c0 * norm with norm = 1/(2 c0) for axis-aligned dirs
+    # (the SH vector has |sh3| = sqrt(3) c0), so y_sh[0] == y / 2
+    inv_scale = 2.0
+    expected_sky = sky_y / 2.0
+
+    # wall at x=4: inside the window (2 m away < 3.5 m half-extent): HIT
+    y_inside = run(4.0)[0] * inv_scale
+    # hits are lit by sun+albedo - must NOT equal the sky luminance
+    assert np.abs(y_inside.mean() - sky_y) > 0.1, y_inside.mean()
+
+    # wall at x=9: outside the window and influence: all rays MISS -> sky
+    y_outside = run(9.0)[0]
+    assert np.abs(y_outside.mean() - expected_sky) / expected_sky < 0.05, \
+        y_outside.mean()
