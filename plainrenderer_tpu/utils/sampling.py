@@ -121,6 +121,25 @@ def taa_jitter_sequence(length: int = 8) -> np.ndarray:
     Hammersley(b2,b3) shifted by -0.5; the projection matrix gets
     2*jitter/resolution added to the (2,0)/(2,1) entries.
     """
-    idx = jnp.arange(length, dtype=jnp.uint32)
-    seq = np.asarray(hammersley_2d(idx))
+    # pure numpy: this runs at module-import time, and eager jnp ops each
+    # pay a device round-trip (tens of seconds over a remote-TPU tunnel)
+    idx = np.arange(length, dtype=np.uint64)
+    b2 = np.zeros(length)
+    b3 = np.zeros(length)
+    for k, i in enumerate(idx):
+        v, f, r2 = int(i), 0.5, 0.0
+        while v:
+            r2 += f * (v & 1)
+            v >>= 1
+            f *= 0.5
+        b2[k] = r2
+        v, f, r3 = int(i), 1.0 / 3.0, 0.0
+        rev = 0
+        while v:
+            rev = rev * 3 + v % 3
+            v //= 3
+            f *= 1.0 / 3.0
+        # rebuild with the same digit count (matches radical_inverse_base3)
+        b3[k] = rev * (f * 3.0) if i else 0.0
+    seq = np.stack([b2, b3], axis=-1).astype(np.float32)
     return seq - 0.5
