@@ -69,7 +69,7 @@ def _stencil(img, merged_taps, stride: int = 1):
         window_strides=(stride, stride), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
+        preferred_element_type=img.dtype)
     return out[0]
 
 
@@ -145,7 +145,7 @@ def compute_bloom_banded(color, strength: float, blur_radius: float,
     if n_dev <= 1 or mip_count <= 2 or hb % 16 != 0 or blur_radius > 2.5:
         return compute_bloom(color, strength, blur_radius, mip_count)
 
-    ext = halo_extend_fn(color, 8)  # (3, hb+16, w)
+    ext = halo_extend_fn(color, 8).astype(jnp.bfloat16)  # (3, hb+16, w)
     m1e = downsample_13tap(ext)  # mip-1 rows [-4, hb/2+4)
     m2e = downsample_13tap(m1e)  # mip-2 rows [-2, hb/4+2)
     m2_band = m2e[:, 2:-2]
@@ -185,7 +185,7 @@ def compute_bloom_banded(color, strength: float, blur_radius: float,
     u1_band = jax.lax.dynamic_slice_in_dim(u1_pad, row0, hb1 + 2, axis=1)
 
     t1_band = tent9(m1e, blur_radius)[:, 3:-3]  # mip-1 rows [-1, hb1+1)
-    bloom = box_up_crop(t1_band) + box_up_crop(u1_band)
+    bloom = (box_up_crop(t1_band) + box_up_crop(u1_band)).astype(jnp.float32)
     return color + (bloom - color) * strength
 
 
@@ -200,7 +200,10 @@ def compute_bloom(color, strength: float, blur_radius: float, mip_count: int):
     the bloom texture has no direct full-res scene term (bloomUpsample.comp
     sources downscale mip 1).
     """
-    mips = [color]
+    # the whole pyramid runs in bf16: bloom is a wide soft blur mixed in at
+    # a few percent; bf16 halves the HBM traffic of every level (the chain
+    # is bandwidth-bound) and the error is far below the apply strength
+    mips = [color.astype(jnp.bfloat16)]
     for _ in range(mip_count - 1):
         if mips[-1].shape[-1] < 4 or mips[-1].shape[-2] < 4:
             break
@@ -214,5 +217,5 @@ def compute_bloom(color, strength: float, blur_radius: float, mip_count: int):
         if prev is not None:
             out = out + _box_upsample(prev, h, w)
         prev = out
-    bloom = prev
+    bloom = prev.astype(jnp.float32)
     return color + (bloom - color) * strength

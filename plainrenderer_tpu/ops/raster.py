@@ -252,7 +252,7 @@ def _fill_forward(values_per_tri, offsets, p_max):
 
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
-                pairs_per_tri: float = 4.0) -> PairLists:
+                pairs_per_tri: float = 4.0, n_views: int = 1) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
     EXACT per-triangle tile-coverage expansion: the candidate stream is
@@ -268,10 +268,20 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
 
     pairs_per_tri bounds the static candidate size; overflow (dropped pairs)
     is counted in the result for observability.
+
+    n_views > 1: the setup is a vertical ATLAS of n_views independent views
+    (e.g. all shadow cascades in one raster pass, SURVEY 3.2 pass 8) — the
+    triangle stream is n_views blocks of t/n_views triangles whose bboxes
+    were offset into each view's tile-row band. The sort key then packs the
+    VIEW-LOCAL triangle index (a triangle's tiles never cross views), which
+    keeps the key in int32 at atlas sizes a global index would overflow.
     """
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
-    assert (n_tiles + 1) * (t_count + 1) < 2 ** 31, "packed key overflow"
+    assert t_count % n_views == 0 and n_tiles % n_views == 0
+    tpv = t_count // n_views  # triangles per view
+    tiles_per_view = n_tiles // n_views
+    assert (n_tiles + 1) * (tpv + 1) < 2 ** 31, "packed key overflow"
     assert n_tiles_y <= 512 and n_tiles_x <= 128, "bbox packing overflow"
     ty0, tx0, ty1, tx1 = (setup.tile_bbox[:, i] for i in range(4))
     span_y = jnp.where(setup.valid, ty1 - ty0 + 1, 0)
@@ -309,20 +319,26 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     dx = local - dy * sxw
     tile = (g_ty0 + dy) * n_tiles_x + (g_tx0 + dx)
 
-    key = jnp.where(in_use, tile * (t_count + 1) + tri,
-                    jnp.int32(n_tiles * (t_count + 1)))
+    tri_local = tri - (tri // tpv) * tpv
+    key = jnp.where(in_use, tile * (tpv + 1) + tri_local,
+                    jnp.int32(n_tiles * (tpv + 1)))
     keys_sorted = jax.lax.sort(key)
+    # recover the GLOBAL triangle index: the tile determines the view
+    # (sentinel keys decode to tile == n_tiles -> view n_views -> index
+    # t_count, the degenerate padding row)
+    tile_s = keys_sorted // (tpv + 1)
+    tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
     # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can read
     # up to GROUP-1 entries past the last tile's segment end
     pair_tri = jnp.concatenate([
-        keys_sorted % (t_count + 1),
+        jnp.minimum(tri_glob, t_count),
         jnp.full((GROUP,), t_count, jnp.int32)])
 
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(
-        keys_sorted, tile_ids * (t_count + 1)).astype(jnp.int32)
+        keys_sorted, tile_ids * (tpv + 1)).astype(jnp.int32)
     raw_end = jnp.searchsorted(
-        keys_sorted, (tile_ids + 1) * (t_count + 1)).astype(jnp.int32)
+        keys_sorted, (tile_ids + 1) * (tpv + 1)).astype(jnp.int32)
     n_real = raw_end - raw_start
     # cap leaves room for the group-aligned lead-in masked by the kernel
     capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE - GROUP)
@@ -356,16 +372,19 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     e = edges_pad.transpose(2, 1, 0)  # (T+1, 4 planes, 3 coeffs)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
     edges_rows = e.reshape(t_count + 1, 16)
-    pair_rows = edges_rows[pairs.pair_tri]  # (P, 16) contiguous-row take
-    pair_edges = pair_rows.T  # (16, P)
 
-    pair_attrs = None
-    if with_attrs:
-        attrs_pad = jnp.concatenate(
-            [setup.attrs, jnp.zeros((NATTR, 1), jnp.float32)], axis=1
-        )
-        attr_rows = attrs_pad.T[pairs.pair_tri]  # (P, NATTR)
-        pair_attrs = attr_rows.T  # (NATTR, P)
+    if not with_attrs:
+        pair_rows = edges_rows[pairs.pair_tri]  # (P, 16) contiguous-row take
+        return pair_rows.T, None
+
+    # ONE combined (T+1, 16+NATTR) row gather: XLA's TPU row gather costs
+    # ~per-row, so gathering edges and attrs separately paid twice
+    attrs_pad = jnp.concatenate(
+        [setup.attrs, jnp.zeros((NATTR, 1), jnp.float32)], axis=1)
+    rows = jnp.concatenate([edges_rows, attrs_pad.T], axis=1)
+    pair_rows = rows[pairs.pair_tri]  # (P, 16 + NATTR)
+    pair_edges = pair_rows[:, :16].T  # (16, P)
+    pair_attrs = pair_rows[:, 16:].T  # (NATTR, P)
     return pair_edges, pair_attrs
 
 

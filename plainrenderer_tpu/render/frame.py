@@ -160,11 +160,13 @@ def render_frame(
     view_proj = proj @ view
 
     # --- CPU frustum cull analog (RenderFrontend.cpp:565-587) ---
-    from ..scene.frustum import visible_objects_clipspace
+    from ..scene.frustum import expand_object_mask, visible_objects_clipspace
 
+    t_count = scene["corners"].shape[0]
     obj_visible = visible_objects_clipspace(
         view_proj, scene["object_bb_min"], scene["object_bb_max"])
-    tri_visible = obj_visible[scene["tri_object"]]
+    tri_visible = expand_object_mask(obj_visible, scene["tri_starts"],
+                                     t_count)
 
     # --- G-buffer raster (passes 5, 12 geometry side) ---
     setup = raster.geometry_setup(
@@ -236,30 +238,54 @@ def render_frame(
             jnp.asarray(settings.volumetrics.max_distance, jnp.float32),
             sample_radius=settings.shadows.sample_radius,
         )
+        # ALL cascades render as ONE vertical-atlas raster pass: one vmapped
+        # geometry stage, one pair sort, one setup gather, one Pallas launch
+        # (the per-cascade version paid each fixed cost 3x; SURVEY 3.2
+        # pass 8 renders cascades as separate drawcall batches because
+        # Vulkan framebuffers force it — nothing forces it here)
         sres = settings.shadows.resolution
         s_nty, s_ntx = sres // raster.TILE_H, sres // raster.TILE_W
-        shadow_maps = []
-        for c in range(shadow.MAX_CASCADES):
-            if c < settings.shadows.cascade_count:
-                cas_visible = visible_objects_clipspace(
-                    cascade_mats[c], scene["object_bb_min"],
-                    scene["object_bb_max"],
-                    cull_z=False)[scene["tri_object"]]
-                s_setup = raster.geometry_setup(
+        n_cas = settings.shadows.cascade_count
+        with jax.named_scope("shadow.atlas_setup"):
+            cas_mats = cascade_mats[:n_cas]
+            cas_visible = jax.vmap(
+                lambda m: expand_object_mask(
+                    visible_objects_clipspace(
+                        m, scene["object_bb_min"], scene["object_bb_max"],
+                        cull_z=False),
+                    scene["tri_starts"], t_count))(cas_mats)
+            s_setup = jax.vmap(
+                lambda m, vis: raster.geometry_setup(
                     scene["corners"], scene["corner_uvs"],
                     scene["corner_normals"], scene["corner_tangents"],
                     scene["corner_bitangents"], scene["tri_material"],
-                    cas_visible,
-                    cascade_mats[c], cascade_mats[c], sres, sres,
-                    cull="none", with_attrs=False,
-                )
-                s_pairs = raster.build_pairs(s_setup, s_nty, s_ntx)
-                s_edges, _ = raster.gather_pair_setups(s_setup, s_pairs, False)
-                shadow_maps.append(raster.rasterize_depth(
-                    s_edges, s_pairs, s_nty, s_ntx, interpret=interpret))
-            else:
-                shadow_maps.append(jnp.zeros((sres, sres), jnp.float32))
-        shadow_maps = jnp.stack(shadow_maps)
+                    vis, m, m, sres, sres, cull="none", with_attrs=False)
+            )(cas_mats, cas_visible)
+            # shift each cascade's edge planes into its atlas row band:
+            # evaluating at atlas y needs c' = c - b*off, and offset bboxes
+            y_off = (jnp.arange(n_cas, dtype=jnp.float32)
+                     * sres).reshape(n_cas, 1, 1)
+            edges_a = s_setup.edges.at[:, 2].add(-s_setup.edges[:, 1] * y_off)
+            edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, 4, -1)
+            offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
+            bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
+            bbox_a = bbox_a.at[..., 2].add(offs)
+            atlas_setup = raster.TriangleSetup(
+                edges=edges_a,
+                attrs=jnp.zeros((raster.NATTR, 0), jnp.float32),
+                tile_bbox=bbox_a.reshape(-1, 4),
+                valid=s_setup.valid.reshape(-1))
+        s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
+                                     n_views=n_cas)
+        s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
+        atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
+                                       s_ntx, interpret=interpret)
+        shadow_maps = atlas.reshape(n_cas, sres, sres)
+        if n_cas < shadow.MAX_CASCADES:
+            shadow_maps = jnp.concatenate([
+                shadow_maps,
+                jnp.zeros((shadow.MAX_CASCADES - n_cas, sres, sres),
+                          jnp.float32)])
 
         # pixel linear depth = dot(V, -forward) (triangle.frag:205-207)
         to_cam = cam["position"].reshape(3, 1, 1) - world_pos
@@ -617,6 +643,11 @@ def scene_to_device(rs) -> dict:
         "material_table": jnp.asarray(rs.material_table),
         "object_bb_min": jnp.asarray(rs.object_bb_min),
         "object_bb_max": jnp.asarray(rs.object_bb_max),
+        # first-triangle index per object (triangles are object-contiguous);
+        # drives the gather-free per-triangle culling-mask expansion
+        "tri_starts": jnp.asarray(np.searchsorted(
+            rs.tri_object[:rs.triangle_count],
+            np.arange(rs.object_count)).astype(np.int32)),
     }
     if rs.tex_word0 is not None:
         scene["mat_tex"] = jnp.asarray(rs.mat_tex)

@@ -164,6 +164,27 @@ def visible_objects_clipspace(view_proj, bb_min, bb_max, cull_z: bool = True):
     return ~outside
 
 
+def expand_object_mask(obj_mask, tri_starts, t_count: int):
+    """Per-object mask (O,) bool -> per-triangle mask (T,) bool.
+
+    Triangles are stored object-contiguous (scenebuild flattening), so the
+    owner of triangle j is non-decreasing and the expansion is a scatter of
+    per-object DELTAS at each object's first-triangle index + one cumsum —
+    the same fill-forward trick as ops/raster._fill_forward. Replaces
+    `obj_mask[tri_object]`: XLA's generic gather measured ~3.5-5 ms per call
+    at 75k triangles on v5e (4 calls/frame: main view + 3 cascades); this is
+    one T-length cumsum. Padding triangles (past tri_starts' range) inherit
+    the last object's value; they are degenerate and culled by area anyway.
+
+    tri_starts: (O,) i32 device array of first-triangle indices.
+    """
+    vals = obj_mask.astype(jnp.int32)
+    deltas = jnp.diff(vals, prepend=0)
+    acc = jnp.zeros((t_count,), jnp.int32).at[tri_starts].add(
+        deltas, mode="drop")
+    return jnp.cumsum(acc) > 0
+
+
 def aabb_intersects_frustum(frustum: ViewFrustum, bb_min, bb_max):
     """Culling.cpp:5-41 vectorized: (N, 3) AABBs -> (N,) bool visibility.
 

@@ -184,16 +184,19 @@ def main():
     step, state = build_frame(args)
     step = jax.jit(step, donate_argnames=("st",))
 
-    t0 = time.time()
-    lowered = step.lower(state)
-    compiled = lowered.compile()
-    scope_by_op = hlo_scope_map(compiled.as_text())
-    print(f"# compile: {time.time()-t0:.1f}s "
-          f"({len(scope_by_op)} attributed ops)", file=sys.stderr)
+    # implicit call FIRST: the pjit path writes the persistent compile
+    # cache (explicit .compile() was observed not to), so reruns are fast
     t0 = time.time()
     image, state = step(state)
     image.block_until_ready()
-    print(f"# first frame: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    compiled = step.lower(state).compile()
+    hlo_text = compiled.as_text()
+    scope_by_op = hlo_scope_map(hlo_text)
+    (CACHE_DIR / "frame_hlo.txt").write_text(hlo_text)
+    print(f"# hlo: {time.time()-t0:.1f}s ({len(scope_by_op)} attributed "
+          f"ops) -> .cache/frame_hlo.txt", file=sys.stderr)
     for _ in range(3):
         image, state = step(state)
     image.block_until_ready()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Real-TPU smoke test: compile + run every Pallas kernel non-interpret.
+
+The CI guard VERDICT r1 asked for: tests/ run interpret/CPU-only, which is
+blind to Mosaic lowering regressions (the round-1 blocker class). This
+script renders a small frame on the REAL chip with every kernel family
+enabled (rasterizer, texture sampler, shadow resolve, SDF-GI trace, TAA
+history resample incl. the supersampling pre-pass, material lookup) and
+fails loudly on compile errors, NaNs, or a black/blown image.
+
+Run it after any kernel change:  python tools/tpu_smoke.py
+Exit code 0 = all kernels lower + execute on hardware.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".cache" / "jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    dev = jax.devices()[0]
+    if dev.platform == "cpu":
+        print("FAIL: no TPU visible (got cpu backend) — this smoke test "
+              "must run on hardware", file=sys.stderr)
+        return 2
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plainrenderer_tpu.assets import procedural
+    from plainrenderer_tpu.config import (RenderSettings, SDFTraceSettings,
+                                          TAASettings)
+    from plainrenderer_tpu.ops import sdf_scene
+    from plainrenderer_tpu.render import frame as frame_mod
+    from plainrenderer_tpu.render import scenebuild
+    from plainrenderer_tpu.render.state import initial_state
+    from plainrenderer_tpu.scene import camera as cam
+
+    t0 = time.time()
+    cfg = procedural.AtriumConfig(columns_per_row=3, floor_subdiv=4,
+                                  box_count=6, box_subdiv=2,
+                                  column_segments=12)
+    scene_data = procedural.build_atrium_scene(cfg)
+    rs = scenebuild.build_render_scene(scene_data)
+    scene = frame_mod.scene_to_device(rs)
+    gsdf = sdf_scene.build_scene_sdf(rs, scene_data, use_jax_bake=True,
+                                     bake_resolution_cap=16)
+    scene = frame_mod.attach_global_sdf(scene, gsdf)
+    print(f"# scene setup: {time.time()-t0:.1f}s ({rs.triangle_count} tris)",
+          file=sys.stderr)
+
+    # full-resolution GI + separate supersampling: covers the kernels the
+    # default settings skip
+    settings = RenderSettings(
+        width=256, height=256,
+        exposure_adaption_speed=1000.0,
+        sdf_trace=SDFTraceSettings(enabled=True, half_resolution=False,
+                                   trace_steps=32),
+        taa=TAASettings(use_separate_supersampling=True),
+    )
+    state = initial_state(settings.width, settings.height)
+    ext = cam.extrinsic_from_angles([-9.0, -1.8, 0.0], pitch_deg=8.0,
+                                    yaw_deg=10.0)
+    camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                     ext.up)
+
+    luts = frame_mod.bake_static_luts(settings)
+    dt = jnp.asarray(1 / 60.0)
+    t0 = time.time()
+    image = None
+    try:
+        for _ in range(4):
+            image, state = frame_mod.render_frame(
+                state, scene, camera, luts, dt, settings)
+        img = np.asarray(image)
+    except Exception as e:  # noqa: BLE001 — report Mosaic/compile errors
+        print(f"FAIL: frame raised on TPU: {e}", file=sys.stderr)
+        return 1
+    print(f"# compile+4 frames: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    mean = float(img.mean())
+    if not np.isfinite(img.astype(np.float32)).all():
+        print("FAIL: non-finite pixels", file=sys.stderr)
+        return 1
+    if mean < 2.0 or mean > 250.0:
+        print(f"FAIL: image mean {mean:.1f} out of sane range (black/blown)",
+              file=sys.stderr)
+        return 1
+    exposure = float(np.asarray(state.exposure))
+    print(f"OK: TPU smoke passed (mean={mean:.1f}, exposure={exposure:.2e})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
