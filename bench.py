@@ -7,7 +7,10 @@ Prints ONE JSON line:
 The baseline target is 60 FPS at 1920x1080 with the full SDF-GI + TAA
 pipeline (BASELINE.md; the reference publishes no numbers of its own).
 The scene is the deterministic procedural atrium (the reference ships no
-scene assets); triangle count is Sponza-class-adjustable via --tris.
+scene assets) at Sponza-class load by default: 292k triangles (>= Sponza's
+~262k), shadow resolution 2048, 128 trace steps, half-res GI — the
+reference's own quality defaults (RenderFrontend.cpp:40, SDF.inc:144,
+SDFGI.h:18). Use --scale to vary tessellation.
 """
 
 import argparse
@@ -30,8 +33,9 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--scale", type=int, default=2,
-                    help="scene tessellation scale (1=light ... 3=heavy)")
+    ap.add_argument("--scale", type=int, default=4,
+                    help="scene tessellation scale; 4 = Sponza-class "
+                    "(292k triangles >= Sponza's ~262k, BASELINE.md load)")
     ap.add_argument("--no-gi", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

@@ -37,6 +37,15 @@ BRICK_H = 8
 BRICK_W = 128
 MAX_MIPS = 12
 
+# alpha-test mask pool (depthPrepass.frag:28-31 / sunShadow.frag alpha clip):
+# each alpha-tested material gets a 64x64 binary visibility mask sampled
+# nearest-with-wrap inside the raster visibility kernels. 64x64 is the
+# in-register budget: one mask = 128 int32 words = one (1, 128) lane row,
+# so the kernel's per-pair mask table is a single vreg-width lane gather.
+ALPHA_MASK_RES = 64
+ALPHA_MASK_WORDS = 128  # 64 rows x 2 words (32 bits each)
+MAX_ALPHA_MATERIALS = 8
+
 
 @dataclasses.dataclass
 class TexturePool:
@@ -47,6 +56,10 @@ class TexturePool:
     info: np.ndarray  # (n_tex * n_mips, 4) int32: base, nbx, log_w, log_h
     n_mips: int
     n_textures: int
+    # alpha-test support (all-zero when no material is alpha-tested):
+    alpha_masks: np.ndarray = None  # (MAX_ALPHA_MATERIALS, 128) int32 bits
+    alpha_slot: np.ndarray = None  # (n_tex,) int32: 0 = opaque, s>0 =
+    #   masks row s-1 (slot semantics shared with ops/raster.py)
 
 
 def generate_mips(img: np.ndarray, n_mips: int) -> list[np.ndarray]:
@@ -110,6 +123,44 @@ class MaterialTextures:
     normal: np.ndarray | None = None  # (H, W, >=2) tangent-space, [0,1]
     specular: np.ndarray | None = None  # (H, W, >=3) glTF ORM (G=rough,
     #                                     B=metal) like the reference
+    # alpha-tested material (clip at 0.5 — depthPrepass.frag:28-31).
+    # None = auto-detect: any albedo texel with alpha < 0.5
+    alpha_test: bool | None = None
+
+    def is_alpha_tested(self) -> bool:
+        if self.alpha_test is not None:
+            return self.alpha_test
+        return (self.albedo is not None and self.albedo.shape[-1] >= 4
+                and bool((self.albedo[..., 3] < 0.5).any()))
+
+
+def build_alpha_mask(alpha: np.ndarray) -> np.ndarray:
+    """(H, W) alpha channel -> (ALPHA_MASK_WORDS,) int32 bit mask.
+
+    Area-averaged down to 64x64, thresholded at the reference's 0.5 alpha
+    cutoff (depthPrepass.frag:28-31). Word layout consumed by the raster
+    kernels: word index = row * 2 + (col >= 32), bit = col & 31; bit 1 =
+    texel passes the alpha test (opaque)."""
+    r = ALPHA_MASK_RES
+    h, w = alpha.shape[:2]
+    # area-average via integer bucketing (handles any source size)
+    ys = np.minimum((np.arange(h) * r) // max(h, 1), r - 1)
+    xs = np.minimum((np.arange(w) * r) // max(w, 1), r - 1)
+    acc = np.zeros((r, r), np.float64)
+    cnt = np.zeros((r, r), np.float64)
+    np.add.at(acc, (ys[:, None], xs[None, :]),
+              alpha.astype(np.float64))
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+    grid = acc / np.maximum(cnt, 1.0)
+    bits = grid >= 0.5  # (64, 64) bool
+    words = np.zeros((ALPHA_MASK_WORDS,), np.uint32)
+    for half in range(2):
+        block = bits[:, half * 32:(half + 1) * 32]  # (64, 32)
+        vals = (block.astype(np.uint32)
+                << np.arange(32, dtype=np.uint32)[None, :]).sum(
+                    axis=1, dtype=np.uint64)
+        words[half::2] = vals.astype(np.uint32)
+    return words.view(np.int32)
 
 
 def build_texture_pool(materials: list[MaterialTextures],
@@ -127,9 +178,23 @@ def build_texture_pool(materials: list[MaterialTextures],
     n_mips = max_mips
 
     info = np.zeros((n_tex * n_mips, 4), np.int32)
+    alpha_masks = np.zeros((MAX_ALPHA_MATERIALS, ALPHA_MASK_WORDS), np.int32)
+    alpha_slot = np.zeros((n_tex,), np.int32)
+    n_alpha = 0
     bricks0, bricks1 = [], []
     base_count = 0
     for t, mt in enumerate(materials):
+        if mt.is_alpha_tested():
+            if n_alpha < MAX_ALPHA_MATERIALS:
+                alpha_masks[n_alpha] = build_alpha_mask(mt.albedo[..., 3])
+                n_alpha += 1
+                alpha_slot[t] = n_alpha  # slot = row + 1; 0 = opaque
+            else:
+                import sys
+
+                print("textures: alpha-tested material budget "
+                      f"({MAX_ALPHA_MATERIALS}) exceeded; material {t} "
+                      "renders opaque", file=sys.stderr)
         d = (defaults[t] if defaults else None) or {}
         alb = mt.albedo
         if alb is None:
@@ -189,4 +254,5 @@ def build_texture_pool(materials: list[MaterialTextures],
     word0 = (word0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     word1 = (word1 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     return TexturePool(word0=word0, word1=word1, info=info,
-                       n_mips=n_mips, n_textures=n_tex)
+                       n_mips=n_mips, n_textures=n_tex,
+                       alpha_masks=alpha_masks, alpha_slot=alpha_slot)

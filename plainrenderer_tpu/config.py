@@ -48,7 +48,7 @@ class SDFTraceSettings:
     half_resolution: bool = True
     strict_influence_radius_cutoff: bool = False  # SDFGI.h:21
     influence_radius: float = 3.0
-    trace_steps: int = 64  # reference uses up to 128 (SDF.inc)
+    trace_steps: int = 128  # reference trace loop length (SDF.inc:144)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,7 +92,7 @@ class ShadowSettings:
     """Cascaded sun shadows (RenderFrontend shadow constants + lightMatrix)."""
 
     cascade_count: int = 3  # ShadingConfig default (RenderFrontend.h:37)
-    resolution: int = 1024  # reference uses 2048 (RenderFrontend.cpp:49)
+    resolution: int = 2048  # reference shadowMapRes (RenderFrontend.cpp:40)
     pcf_taps: int = 12  # triangle.frag:110
     sample_radius: float = 0.03  # world-space, sunShadowCascades.inc:5
     debug_cascade_colors: bool = False  # sunShadowCascades.inc:23-31 tint

@@ -41,36 +41,32 @@ def _expand_taps(taps):
 
 
 def _stencil(img, merged_taps, stride: int = 1):
-    """Apply integer-offset weighted-sum taps as ONE depthwise convolution
+    """Apply integer-offset weighted-sum taps as ONE fused shift-add loop
     (clamp-to-edge padding, correlation orientation, optional stride).
 
-    A conv expresses the whole tap pattern as a single XLA op: no
-    per-tap materialization (the old roll-based shifts), and no giant
-    pad+slice fusions (which fault the TPU backend at 1080p when the deep
-    mips enter the program)."""
-    c, h, w = img.shape
+    Pad once + static-slice taps fuses into a single XLA loop fusion (the
+    EdgePadded pattern that took the TAA filter 8.0 -> 1.6 ms). A depthwise
+    NCHW conv expresses the same math as one op but forces layout-relayout
+    copies around the conv at C=3 (~0.9-1.7 ms each, measured at 1080p) —
+    the TPU conv emitter wants NHWC with lane-major channels. Striding runs
+    the stencil dense then point-subsamples (VPU adds are free next to the
+    HBM traffic; a strided slice would canonicalize into a gather)."""
+    from ..utils.stencil import EdgePadded, point_downsample
+
     offs = list(merged_taps.items())
-    lo_y = min(0, min(sy for (sy, _), _ in offs))
-    hi_y = max(0, max(sy for (sy, _), _ in offs))
-    lo_x = min(0, min(sx for (_, sx), _ in offs))
-    hi_x = max(0, max(sx for (_, sx), _ in offs))
-    kh = hi_y - lo_y + 1
-    kw = hi_x - lo_x + 1
-    kernel = jnp.zeros((c, 1, kh, kw), img.dtype)
+    my = max(abs(sy) for (sy, _), _ in offs)
+    mx = max(abs(sx) for (_, sx), _ in offs)
+    my = min(my, img.shape[-2] - 1)
+    mx = min(mx, img.shape[-1] - 1)
+    p = EdgePadded(img, my, mx)
+    out = None
     for (sy, sx), wt in offs:
-        kernel = kernel.at[:, 0, sy - lo_y, sx - lo_x].add(wt)
-    # clamp-to-edge: explicit edge pad, then VALID correlation.
-    # out[y] = sum_k K[k] * padded[y*stride + k] with padded[i] =
-    # img_clamped[i + lo_y], so tap k hits img[y*stride + lo_y + k]. ✓
-    padded = jnp.pad(img, ((0, 0), (-lo_y, hi_y), (-lo_x, hi_x)),
-                     mode="edge") if (kh > 1 or kw > 1) else img
-    out = jax.lax.conv_general_dilated(
-        padded[None], kernel,
-        window_strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        preferred_element_type=img.dtype)
-    return out[0]
+        tap = p.tap_fwd(max(min(sy, my), -my), max(min(sx, mx), -mx))
+        term = tap * jnp.asarray(wt, img.dtype)
+        out = term if out is None else out + term
+    if stride != 1:
+        out = point_downsample(out, stride, stride)
+    return out
 
 
 def _bilinear_at_half_offsets(img, dy, dx):

@@ -27,9 +27,24 @@ three-stage, fully data-parallel design chosen for TPU hardware:
 
 Reverse-Z, GreaterEqual compares, and Vulkan NDC conventions match the
 reference exactly (Camera.cpp:14-27; depth tests at RenderFrontend.cpp:1574,
-1726). Known v1 limitations (documented, revisited in later rounds):
-triangles crossing the near plane are culled rather than clipped, and there
-is no alpha-test path in the visibility stage yet.
+1726). Near-plane-crossing triangles rasterize their visible region exactly
+(2D-homogeneous edge setup + the z <= 1 kernel test) — no geometric clipper
+needed (fixed-function Vulkan clipping parity without data-dependent
+triangle counts).
+
+Alpha test (depthPrepass.frag:28-31, sunShadow.frag): alpha-tested
+materials carry a 64x64 binary mask (assets/textures.build_alpha_mask);
+when a scene has any, the edge table grows from 4 to 8 planes per triangle
+(u/w, v/w, 1/w and the mask-slot id as a constant plane) and the
+visibility loop — gated per pair-group on "any alpha-tested pair", so
+opaque-only groups pay nothing — evaluates perspective-correct UVs and
+cuts coverage where the mask bit is 0. The mask word lookup is ONE
+single-vreg lane gather per 128-pixel block (jnp.take_along_axis on a
+(GROUP, 128) table — Mosaic's fast in-register shuffle; wider tables hit
+'multiple source vregs along gather dimension'), which is why masks are
+capped at 64x64 = 128 words. The reference samples the real albedo
+alpha with hardware mips; a 64x64 nearest-with-wrap mask is the
+documented approximation (binarized at the same 0.5 cutoff).
 """
 
 from __future__ import annotations
@@ -64,18 +79,12 @@ def pad_resolution(width: int, height: int) -> tuple[int, int]:
 class TriangleSetup:
     """Per-triangle raster state (all dense, (T,)-leading)."""
 
-    edges: jnp.ndarray  # (3, 4, T) f32: [coeff a/b/c][e0,e1,e2,z][tri]
+    edges: jnp.ndarray  # (3, 4|8, T) f32: [coeff a/b/c][plane][tri];
+    #   planes = e0, e1, e2, z (+ u/w, v/w, 1/w, alpha-slot when the scene
+    #   has alpha-tested materials)
     attrs: jnp.ndarray  # (NATTR, T) f32 attr-plane rows (main view only)
     tile_bbox: jnp.ndarray  # (T, 4) i32: ty0, tx0, ty1, tx1 (inclusive)
     valid: jnp.ndarray  # (T,) bool
-
-
-def _edge_coeffs(xa, ya, xb, yb):
-    """Edge function E(x, y) = (x-xa)(yb-ya) - (y-ya)(xb-xa) as (a, b, c)."""
-    a = yb - ya
-    b = -(xb - xa)
-    c = -(xa * a + ya * b)
-    return a, b, c
 
 
 @jax.named_scope("raster.geometry_setup")
@@ -93,9 +102,28 @@ def geometry_setup(
     height: int,
     cull: str = "back",  # 'back' | 'front' | 'none'
     with_attrs: bool = True,
+    near_w: float = 0.0,  # clip-w of the near plane (z_ndc == 1); 0 = off
+    prev_corners: jnp.ndarray | None = None,  # dynamic objects: last frame's
+    #   world-space corners for motion vectors (defaults to `corners`)
+    tri_alpha_slot: jnp.ndarray | None = None,  # (T,) i32 alpha-mask slot
+    #   (0 = opaque); presence turns on the 8-plane alpha-test edge table
 ) -> TriangleSetup:
     """Dense per-triangle setup. Mirrors the vertex-stage semantics of
-    triangle.vert / depthPrepass.vert with reverse-Z viewport transform."""
+    triangle.vert / depthPrepass.vert with reverse-Z viewport transform.
+
+    Edge/attribute planes are built in 2D HOMOGENEOUS viewport space (Olano
+    & Greer '97): coefficients come from cross products of (X, Y, W) vertex
+    rows, never dividing by w. Triangles crossing the near plane therefore
+    rasterize their visible (w > 0, z <= 1) region EXACTLY — the fixed-
+    function clipper the reference relies on (Vulkan near-plane clip) has no
+    TPU equivalent, and geometric clipping would make triangle count
+    data-dependent (hostile to static shapes). Coverage of the clipped
+    region falls out of the edge signs plus the z <= 1 test in the kernel;
+    the bbox comes from the vertices in front of the near plane plus the
+    edge/near-plane intersection points. Precision: plane evaluation error
+    is ~f32_eps * |ndc| * width pixels (sub-1e-3 px for on-screen geometry;
+    the old projected-space path was only better for geometry that needed
+    no clipping at all)."""
     t_count = corners.shape[0]
     flat = corners.reshape(-1, 3)
     # full f32 matmuls: the TPU default (bf16 MXU passes) shifts projected
@@ -106,65 +134,113 @@ def geometry_setup(
     clip = clip.reshape(t_count, 3, 3)
     w = clip_w.reshape(t_count, 3)
 
-    w_ok = jnp.all(w > 1e-6, axis=1)
-    inv_w = 1.0 / jnp.where(w_ok[:, None], w, 1.0)
-    ndc = clip[..., :2] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (ndc[..., 1] * 0.5 + 0.5) * height  # Vulkan NDC y-down == screen y
-    z = clip[..., 2] * inv_w  # reverse-Z in [0, 1]
+    # homogeneous viewport coordinates: X/W is the screen x of the vertex
+    sx_h = (clip[..., 0] * 0.5 + 0.5 * w) * width  # (T, 3)
+    sy_h = (clip[..., 1] * 0.5 + 0.5 * w) * height  # Vulkan y-down == screen
+    z_h = clip[..., 2]
 
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
-    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    def cross3(i, j):
+        a = sy_h[:, i] * w[:, j] - sy_h[:, j] * w[:, i]
+        b = w[:, i] * sx_h[:, j] - sx_h[:, i] * w[:, j]
+        c = sx_h[:, i] * sy_h[:, j] - sy_h[:, i] * sx_h[:, j]
+        return a, b, c
+
+    e0 = cross3(1, 2)
+    e1 = cross3(2, 0)
+    e2 = cross3(0, 1)
+    # det = 2 * signed_screen_area * w0*w1*w2: the clip-space facing test
+    # (correct sign even with vertices behind the eye)
+    det = e0[0] * sx_h[:, 0] + e0[1] * sy_h[:, 0] + e0[2] * w[:, 0]
 
     if cull == "back":
-        face_ok = area2 > 0
+        face_ok = det > 0
     elif cull == "front":
-        face_ok = area2 < 0
+        face_ok = det < 0
     else:
-        face_ok = jnp.abs(area2) > 0
-    valid = w_ok & face_ok & tri_visible & (jnp.abs(area2) > 1e-12)
+        face_ok = jnp.abs(det) > 0
 
-    # orient edges so inside == all(E >= 0) for either winding
-    # (E as defined above is negative inside positive-area triangles)
-    flip = jnp.where(area2 < 0, 1.0, -1.0)
-    e0 = _edge_coeffs(x0, y0, x1, y1)
-    e1 = _edge_coeffs(x1, y1, x2, y2)
-    e2 = _edge_coeffs(x2, y2, x0, y0)
+    near_lim = max(near_w, 1e-9)
+    # triangles entirely behind the near plane (w linear over the triangle)
+    # are fully z-clipped; all-behind-eye is a subset of that
+    any_front = jnp.any(w >= near_lim, axis=1)
+    valid = face_ok & tri_visible & any_front & (jnp.abs(det) > 1e-12)
 
-    # screen-affine plane through (x_i, y_i, q_i): q(x,y) = a x + b y + c
-    inv_area = 1.0 / jnp.where(valid, area2, 1.0)
+    # orient edges so inside == all(E >= 0) for either winding (interior
+    # pixels evaluate to det / w > 0 for det > 0)
+    flip = jnp.where(det < 0, -1.0, 1.0)
+    inv_absdet = 1.0 / jnp.where(valid, jnp.abs(det), 1.0)
+    e0 = tuple(c * flip for c in e0)
+    e1 = tuple(c * flip for c in e1)
+    e2 = tuple(c * flip for c in e2)
 
     def plane(q0, q1, q2):
-        qa = ((q1 - q0) * (y2 - y0) - (q2 - q0) * (y1 - y0)) * inv_area
-        qb = ((q2 - q0) * (x1 - x0) - (q1 - q0) * (x2 - x0)) * inv_area
-        qc = q0 - qa * x0 - qb * y0
+        """Screen-affine plane of q/w from RAW per-vertex q (M^-1 q)."""
+        qa = (q0 * e0[0] + q1 * e1[0] + q2 * e2[0]) * inv_absdet
+        qb = (q0 * e0[1] + q1 * e1[1] + q2 * e2[1]) * inv_absdet
+        qc = (q0 * e0[2] + q1 * e1[2] + q2 * e2[2]) * inv_absdet
         return qa, qb, qc
 
-    zp = plane(z[:, 0], z[:, 1], z[:, 2])
-    never = (jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.full_like(x0, -1.0))
-    e0 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e0, never))
-    e1 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e1, never))
-    e2 = tuple(jnp.where(valid, c * flip, n) for c, n in zip(e2, never))
+    zp = plane(z_h[:, 0], z_h[:, 1], z_h[:, 2])
+    never = (jnp.zeros_like(det), jnp.zeros_like(det),
+             jnp.full_like(det, -1.0))
+    e0 = tuple(jnp.where(valid, c, n) for c, n in zip(e0, never))
+    e1 = tuple(jnp.where(valid, c, n) for c, n in zip(e1, never))
+    e2 = tuple(jnp.where(valid, c, n) for c, n in zip(e2, never))
     zp = tuple(jnp.where(valid, c, 0.0) for c in zp)
 
-    # edges layout (3 coeffs, 4 planes, T)
+    # edges layout (3 coeffs, n_planes, T); planes 4-7 are the alpha-test
+    # extension: perspective-correct UV + the mask slot as a constant plane
+    # (a = b = 0) so the atlas y-shift in render/frame.py (c -= b * y_off)
+    # applies uniformly to every plane
+    plane_sets = [e0, e1, e2, zp]
+    if tri_alpha_slot is not None:
+        zero = jnp.zeros_like(det)
+
+        def guarded(p):
+            return tuple(jnp.where(valid, c, 0.0) for c in p)
+
+        plane_sets.append(guarded(plane(
+            corner_uvs[:, 0, 0], corner_uvs[:, 1, 0], corner_uvs[:, 2, 0])))
+        plane_sets.append(guarded(plane(
+            corner_uvs[:, 0, 1], corner_uvs[:, 1, 1], corner_uvs[:, 2, 1])))
+        plane_sets.append(guarded(plane(
+            jnp.ones_like(det), jnp.ones_like(det), jnp.ones_like(det))))
+        slot_f = tri_alpha_slot.astype(jnp.float32)
+        plane_sets.append((zero, zero, jnp.where(valid, slot_f, 0.0)))
     edges = jnp.stack(
-        [
-            jnp.stack([e0[0], e1[0], e2[0], zp[0]], axis=0),
-            jnp.stack([e0[1], e1[1], e2[1], zp[1]], axis=0),
-            jnp.stack([e0[2], e1[2], e2[2], zp[2]], axis=0),
-        ],
+        [jnp.stack([p[coeff] for p in plane_sets], axis=0)
+         for coeff in range(3)],
         axis=0,
     ).astype(jnp.float32)
 
-    # tile bbox (clamped); invalid tris get an empty bbox
+    # tile bbox over the projection of the triangle's NON-CLIPPED part:
+    # vertices with w >= near_lim plus edge/near-plane intersection points
     ntx = width // TILE_W
     nty = height // TILE_H
-    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
-    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
-    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
-    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    big = jnp.float32(1e9)
+    cand_x, cand_y, cand_ok = [], [], []
+    for v in range(3):
+        wd = jnp.maximum(w[:, v], near_lim)  # masked-out lanes stay finite
+        cand_x.append(sx_h[:, v] / wd)
+        cand_y.append(sy_h[:, v] / wd)
+        cand_ok.append(w[:, v] >= near_lim)
+    inv_near = 1.0 / near_lim
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        denom = w[:, j] - w[:, i]
+        t = (near_lim - w[:, i]) / jnp.where(
+            jnp.abs(denom) > 1e-12, denom, 1.0)
+        crossing = ((w[:, i] - near_lim) * (w[:, j] - near_lim) < 0.0) & (
+            jnp.abs(denom) > 1e-12)
+        cand_x.append((sx_h[:, i] + t * (sx_h[:, j] - sx_h[:, i])) * inv_near)
+        cand_y.append((sy_h[:, i] + t * (sy_h[:, j] - sy_h[:, i])) * inv_near)
+        cand_ok.append(crossing)
+    cx = jnp.stack(cand_x, axis=1)
+    cy = jnp.stack(cand_y, axis=1)
+    cok = jnp.stack(cand_ok, axis=1)
+    xmin = jnp.min(jnp.where(cok, cx, big), axis=1)
+    xmax = jnp.max(jnp.where(cok, cx, -big), axis=1)
+    ymin = jnp.min(jnp.where(cok, cy, big), axis=1)
+    ymax = jnp.max(jnp.where(cok, cy, -big), axis=1)
     tx0 = jnp.clip(jnp.floor(xmin / TILE_W), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(xmax / TILE_W), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(ymin / TILE_H), 0, nty - 1).astype(jnp.int32)
@@ -186,9 +262,12 @@ def geometry_setup(
         return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
                              valid=valid)
 
-    # perspective-correct attribute planes: interpolate q/w and 1/w affinely
-    prev_clip = _dot(flat, prev_view_proj[:3, :3].T) + prev_view_proj[:3, 3]
-    prev_w = _dot(flat, prev_view_proj[3, :3]) + prev_view_proj[3, 3]
+    # perspective-correct attribute planes: homogeneous plane() takes RAW
+    # per-vertex q and yields the screen-affine q/w function directly
+    prev_flat = flat if prev_corners is None else prev_corners.reshape(-1, 3)
+    prev_clip = _dot(prev_flat, prev_view_proj[:3, :3].T) \
+        + prev_view_proj[:3, 3]
+    prev_w = _dot(prev_flat, prev_view_proj[3, :3]) + prev_view_proj[3, 3]
     prev_clip = prev_clip.reshape(t_count, 3, 3)
     prev_w = prev_w.reshape(t_count, 3)
 
@@ -197,21 +276,21 @@ def geometry_setup(
     def add_plane(q_corners):  # q_corners (T, 3)
         rows.extend(plane(q_corners[:, 0], q_corners[:, 1], q_corners[:, 2]))
 
-    add_plane(inv_w)  # rows 0-2: 1/w
-    add_plane(corner_uvs[..., 0] * inv_w)  # 3-5: u/w
-    add_plane(corner_uvs[..., 1] * inv_w)  # 6-8: v/w
+    add_plane(jnp.ones_like(w))  # rows 0-2: 1/w
+    add_plane(corner_uvs[..., 0])  # 3-5: u/w
+    add_plane(corner_uvs[..., 1])  # 6-8: v/w
     for comp in range(3):  # 9-17: normal/w
-        add_plane(corner_normals[..., comp] * inv_w)
+        add_plane(corner_normals[..., comp])
     for comp in range(3):  # 18-26: tangent/w
-        add_plane(corner_tangents[..., comp] * inv_w)
+        add_plane(corner_tangents[..., comp])
     for comp in range(3):  # 27-35: bitangent/w
-        add_plane(corner_bitangents[..., comp] * inv_w)
-    add_plane(prev_clip[..., 0] * inv_w)  # 36-38: prev clip x / w
-    add_plane(prev_clip[..., 1] * inv_w)  # 39-41: prev clip y / w
-    add_plane(prev_w * inv_w)  # 42-44: prev w / w
+        add_plane(corner_bitangents[..., comp])
+    add_plane(prev_clip[..., 0])  # 36-38: prev clip x / w
+    add_plane(prev_clip[..., 1])  # 39-41: prev clip y / w
+    add_plane(prev_w)  # 42-44: prev w / w
     # 45-47: material id as a constant plane (a=b=0, c=id)
-    rows.append(jnp.zeros_like(x0))
-    rows.append(jnp.zeros_like(x0))
+    rows.append(jnp.zeros_like(det))
+    rows.append(jnp.zeros_like(det))
     rows.append(tri_material.astype(jnp.float32))
 
     attrs = jnp.stack(rows, axis=0).astype(jnp.float32)  # (NATTR, T)
@@ -234,40 +313,37 @@ class PairLists:
     overflow: jnp.ndarray  # () i32 diagnostic: dropped pairs/triangles
 
 
-def _fill_forward(values_per_tri, offsets, p_max):
-    """g[j] = values_per_tri[owner(j)] without a (P,)-sized gather.
-
-    owner(j) is non-decreasing (cumsum expansion), so scatter the per-
-    triangle DELTA at each triangle's first pair index and inclusive-cumsum:
-    deltas telescope, ties (zero-span triangles sharing an offset) resolve
-    to the last triangle of the tie group — exactly the owner. Cost: one
-    T-sized scatter-add + one P cumsum instead of a P-sized gather (XLA TPU
-    gathers cost ~8 cycles/element; the scatter is 4x smaller and cumsum is
-    a dense log-pass scan)."""
-    deltas = jnp.diff(values_per_tri, prepend=0)
-    acc = jnp.zeros((p_max,), jnp.int32).at[offsets].add(
-        deltas, mode="drop")
-    return jnp.cumsum(acc)
-
-
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
-                pairs_per_tri: float = 4.0, n_views: int = 1) -> PairLists:
+                pairs_per_tri: float = 4.0, n_views: int = 1,
+                k_direct: int = 4, mid_budget: int = 1024,
+                big_budget: int = 32) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
-    EXACT per-triangle tile-coverage expansion: the candidate stream is
-    ~len(sum of spans), typically ~1.2x the triangle count at 1080p. The
-    owner triangle of pair j and its packed tile geometry are recovered with
-    scatter+cumsum fill-forward (no large gathers, no searchsorted — both
-    measured several ms at this size), then ONE packed-key lax.sort (the
-    TPU radix sort) orders the stream by (tile, tri). Per-tile segments are
+    EXACT per-triangle tile-coverage expansion, SCATTER-FREE: candidates
+    come from three static-slot buckets, so every per-candidate quantity is
+    pure iota arithmetic / broadcast (the previous scatter+cumsum
+    fill-forward paid ~9 ns per scatter update — 8 ms/frame across both
+    views at 75k triangles, and scaling linearly with T):
+
+      - direct: every triangle owns k_direct slots; triangles whose tile
+        span fits emit their tiles here (the overwhelming majority at 1080p);
+      - mid: up to mid_budget triangles with span in (k_direct, 64],
+        selected by a stable boolean argsort, 64 slots each;
+      - big: up to big_budget triangles with span > 64, each with
+        tiles_per_view slots — enough for a full-grid bbox, so coverage is
+        always exact (these are the handful of floor/wall triangles).
+
+    The combined candidate keys go through ONE packed-key lax.sort (the TPU
+    radix sort) ordering the stream by (tile, tri). Per-tile segments are
     NOT re-aligned: the raster kernels DMA from the group-aligned floor of
     each segment start and mask the lead-in (the DMA engine requires
     128-lane-aligned offsets; masking is free, re-gathering the stream into
     aligned segments measured ~6 ms).
 
-    pairs_per_tri bounds the static candidate size; overflow (dropped pairs)
-    is counted in the result for observability.
+    Bucket-budget overruns DROP whole triangles and are counted in
+    `overflow` for observability (pairs_per_tri is kept for API
+    compatibility; the stream size no longer depends on it).
 
     n_views > 1: the setup is a vertical ATLAS of n_views independent views
     (e.g. all shadow cascades in one raster pass, SURVEY 3.2 pass 8) — the
@@ -276,6 +352,7 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     VIEW-LOCAL triangle index (a triangle's tiles never cross views), which
     keeps the key in int32 at atlas sizes a global index would overflow.
     """
+    del pairs_per_tri
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
     assert t_count % n_views == 0 and n_tiles % n_views == 0
@@ -288,40 +365,56 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
     span = span_y * span_x
 
-    ends = jnp.cumsum(span)  # inclusive prefix counts
-    offsets = ends - span
-    total = ends[-1]
-    # slack scales with BOTH triangle count (small tris) and tile count
-    # (a handful of huge floor/wall triangles can each cover the whole
-    # grid — at low triangle counts they dominate the pair budget)
-    p_max = int(t_count * pairs_per_tri) + 4 * n_tiles
-    p_max = max(GROUP, (p_max + GROUP - 1) // GROUP * GROUP)
-    overflow = jnp.maximum(total - p_max, 0)
+    K_MID = 64
+    k_big = tiles_per_view
+    sentinel = jnp.int32(n_tiles * (tpv + 1))
+    tri_glob_all = jnp.arange(t_count, dtype=jnp.int32)
+    tri_local_all = tri_glob_all % tpv
 
-    j = jnp.arange(p_max, dtype=jnp.int32)
-    # owner triangle of pair j: #(ends <= j), via an ends-histogram cumsum
-    cnt = jnp.zeros((p_max,), jnp.int32).at[ends].add(1, mode="drop")
-    tri = jnp.clip(jnp.cumsum(cnt), 0, t_count - 1)
-    # packed tile geometry of the owner, fill-forwarded to pair order:
-    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]
-    geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
-                   + jnp.minimum(span_y, 255))
-    g = _fill_forward(geom_packed, offsets, p_max)
-    off = _fill_forward(offsets, offsets, p_max)
-    g_span_y = g & 255
-    g_span_x = (g >> 8) & 127
-    g_tx0 = (g >> 15) & 127
-    g_ty0 = g >> 22
-    local = j - off
-    in_use = (j < total) & (local >= 0) & (local < g_span_x * g_span_y)
-    sxw = jnp.maximum(g_span_x, 1)
-    dy = local // sxw
-    dx = local - dy * sxw
-    tile = (g_ty0 + dy) * n_tiles_x + (g_tx0 + dx)
+    def emit_arrays(sy, sx, y0, x0, tri_local, active, k_slots):
+        """(M, k_slots) candidate keys; all inputs (M,)."""
+        sy = sy[:, None]
+        sx = sx[:, None]
+        k = jnp.arange(k_slots, dtype=jnp.int32)[None, :]
+        sxc = jnp.maximum(sx, 1)
+        dy = k // sxc
+        dx = k - dy * sxc
+        ok = active[:, None] & (k < sy * sx)
+        tile = (y0[:, None] + dy) * n_tiles_x + x0[:, None] + dx
+        key = jnp.where(ok, tile * (tpv + 1) + tri_local[:, None], sentinel)
+        return key.reshape(-1)
 
-    tri_local = tri - (tri // tpv) * tpv
-    key = jnp.where(in_use, tile * (tpv + 1) + tri_local,
-                    jnp.int32(n_tiles * (tpv + 1)))
+    def emit(idx, active, k_slots):
+        return emit_arrays(span_y[idx], span_x[idx], ty0[idx], tx0[idx],
+                           tri_local_all[idx], active, k_slots)
+
+    direct_ok = (span > 0) & (span <= k_direct)
+    keys_a = emit_arrays(span_y, span_x, ty0, tx0, tri_local_all, direct_ok,
+                         k_direct)
+
+    mid_mask = span > k_direct
+    if k_big > K_MID:
+        mid_mask = mid_mask & (span <= K_MID)
+        big_mask = span > K_MID
+    else:
+        big_mask = jnp.zeros_like(mid_mask)
+    # stable argsort of (0 = wanted): bucket members first, original order
+    idx_mid = jnp.argsort(jnp.where(mid_mask, 0, 1).astype(jnp.int32),
+                          stable=True)[:mid_budget].astype(jnp.int32)
+    keys_b = emit(idx_mid, mid_mask[idx_mid], K_MID)
+    overflow = jnp.maximum(jnp.sum(mid_mask.astype(jnp.int32)) - mid_budget,
+                           0)
+    key_parts = [keys_a, keys_b]
+    if k_big > K_MID:
+        idx_big = jnp.argsort(jnp.where(big_mask, 0, 1).astype(jnp.int32),
+                              stable=True)[:big_budget].astype(jnp.int32)
+        keys_c = emit(idx_big, big_mask[idx_big], k_big)
+        overflow = overflow + jnp.maximum(
+            jnp.sum(big_mask.astype(jnp.int32)) - big_budget, 0)
+        key_parts.append(keys_c)
+
+    key = jnp.concatenate(key_parts)
+    p_max = key.shape[0]
     keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
@@ -365,26 +458,29 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     (Mosaic rejects lane-crossing reshapes, the round-1 blocker).
     """
     t_count = setup.valid.shape[0]
-    # pad triangle tables with one degenerate entry at index T
-    never = jnp.zeros((3, 4, 1), jnp.float32).at[2, :, 0].set(-1.0)
-    edges_pad = jnp.concatenate([setup.edges, never], axis=2)  # (3,4,T+1)
-    # (T+1, 16) rows [plane-major: a, b, c, pad] for the copy-speed take
-    e = edges_pad.transpose(2, 1, 0)  # (T+1, 4 planes, 3 coeffs)
+    n_planes = setup.edges.shape[1]  # 4, or 8 with the alpha extension
+    n_rows = 4 * n_planes
+    # pad triangle tables with one degenerate entry at index T (edge plane
+    # c = -1 -> never covers; alpha slot c = -1 -> treated opaque)
+    never = jnp.zeros((3, n_planes, 1), jnp.float32).at[2, :, 0].set(-1.0)
+    edges_pad = jnp.concatenate([setup.edges, never], axis=2)
+    # (T+1, n_rows) rows [plane-major: a, b, c, pad] for the copy-speed take
+    e = edges_pad.transpose(2, 1, 0)  # (T+1, n_planes, 3 coeffs)
     e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
-    edges_rows = e.reshape(t_count + 1, 16)
+    edges_rows = e.reshape(t_count + 1, n_rows)
 
     if not with_attrs:
-        pair_rows = edges_rows[pairs.pair_tri]  # (P, 16) contiguous-row take
+        pair_rows = edges_rows[pairs.pair_tri]  # (P, n_rows) contiguous take
         return pair_rows.T, None
 
-    # ONE combined (T+1, 16+NATTR) row gather: XLA's TPU row gather costs
-    # ~per-row, so gathering edges and attrs separately paid twice
+    # ONE combined (T+1, n_rows+NATTR) row gather: XLA's TPU row gather
+    # costs ~per-row, so gathering edges and attrs separately paid twice
     attrs_pad = jnp.concatenate(
         [setup.attrs, jnp.zeros((NATTR, 1), jnp.float32)], axis=1)
     rows = jnp.concatenate([edges_rows, attrs_pad.T], axis=1)
-    pair_rows = rows[pairs.pair_tri]  # (P, 16 + NATTR)
-    pair_edges = pair_rows[:, :16].T  # (16, P)
-    pair_attrs = pair_rows[:, 16:].T  # (NATTR, P)
+    pair_rows = rows[pairs.pair_tri]  # (P, n_rows + NATTR)
+    pair_edges = pair_rows[:, :n_rows].T  # (n_rows, P)
+    pair_attrs = pair_rows[:, n_rows:].T  # (NATTR, P)
     return pair_edges, pair_attrs
 
 
@@ -421,7 +517,8 @@ def _pixel_basis(tile_y, tile_x):
 
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
-                        depth_clamp: bool = False):
+                        depth_clamp: bool = False, masks_ref=None,
+                        alpha_scr=None):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max.
 
@@ -429,7 +526,12 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     group-aligned floor (the DMA engine needs 128-lane-aligned offsets) and
     the lead-in/tail rows outside [start, start+count) are masked. Slots are
     tracked relative to the aligned base so the G-buffer attribute refetch
-    uses the same aligned DMA grid."""
+    uses the same aligned DMA grid.
+
+    masks_ref (VMEM (MAX_ALPHA_MATERIALS, 128) i32) + alpha_scr (VMEM
+    (GROUP, PX) i32) turn on the alpha-test path: requires the 8-plane edge
+    table (see module docstring); groups whose pairs are all opaque skip
+    the UV/mask work via a scalar pl.when."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
@@ -461,7 +563,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             group_dma(1 - slot, g + 1).start()
 
         group_dma(slot, g).wait()
-        mat = edge_buf[slot]  # (16, GROUP): 4 planes x [a, b, c, pad]
+        mat = edge_buf[slot]  # (n_rows, GROUP): planes x [a, b, c, pad]
 
         # per plane p: (4, GROUP) coeffs x (4, PX) basis -> (GROUP, PX);
         # value-level sublane slices, no shape cast
@@ -481,13 +583,68 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
                + g * GROUP)
         cov = cov & (row >= lead) & (row < lead + count)
+
+        if masks_ref is not None:
+            # alpha test: mask-slot plane is constant per pair -> row 30
+            # (plane 7's c coeff) is the per-pair slot in LANES
+            slot_row = mat[30:31]  # (1, GROUP) f32
+            has_alpha = jnp.max(slot_row) > 0.5
+
+            @pl.when(has_alpha)
+            def _():
+                uw = plane_eval(4)
+                vw = plane_eval(5)
+                iw = plane_eval(6)  # screen-affine 1/w (> 0 inside view)
+                inv = 1.0 / jnp.where(iw > 1e-12, iw, 1.0)
+                u = uw * inv
+                v = vw * inv
+                # wrap addressing, 64x64 nearest
+                ix = jnp.clip((u - jnp.floor(u)) * 64.0, 0.0, 63.0) \
+                    .astype(jnp.int32)
+                iy = jnp.clip((v - jnp.floor(v)) * 64.0, 0.0, 63.0) \
+                    .astype(jnp.int32)
+                word_idx = iy * 2 + (ix >= 32).astype(jnp.int32)  # [0,128)
+                # per-pair slot into SUBLANE space via identity matmul
+                # (a (1, G) -> (G, 1) transpose Mosaic handles on the MXU)
+                gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+                gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+                ident = (gi == gj).astype(jnp.float32)
+                slot_col = jax.lax.dot_general(
+                    ident, slot_row, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (GROUP, 1)
+                # per-pair mask row table (GROUP, 128 words)
+                table = jnp.full((GROUP, 128), -1, jnp.int32)  # opaque
+                for m in range(masks_ref.shape[0]):
+                    table = jnp.where(
+                        jnp.abs(slot_col - (m + 1)) < 0.5,
+                        masks_ref[m:m + 1], table)
+                # ONE single-vreg lane gather per 128-px block
+                words = [
+                    jnp.take_along_axis(
+                        table, word_idx[:, b * 128:(b + 1) * 128], axis=1)
+                    for b in range(PX_PER_TILE // 128)
+                ]
+                word = jnp.concatenate(words, axis=1)  # (GROUP, PX)
+                bit = (word >> (ix & 31)) & 1
+                passes = (slot_col < 0.5) | (bit == 1)
+                alpha_scr[...] = passes.astype(jnp.int32)
+
+            @pl.when(~has_alpha)
+            def _():
+                alpha_scr[...] = jnp.ones_like(alpha_scr)
+
+            cov = cov & (alpha_scr[...] > 0)
         if depth_clamp:
             # sun-shadow semantics: the reference renders cascades with
             # depth clamping (lightMatrix.comp:62 comment), so casters
             # outside the fitted z-range still write clamped depth
             zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
         else:
-            cov = cov & (zz > 0.0)
+            # far clip (z <= 0) and near clip (z > 1): with homogeneous
+            # edge setup the near-plane-crossing region is cut here, pixel-
+            # exact (Vulkan clipper parity)
+            cov = cov & (zz > 0.0) & (zz <= 1.0)
             zc = jnp.clip(zz, 0.0, 1.0)
         zi = pltpu.bitcast(zc, jnp.int32)
         if track_winner:
@@ -519,44 +676,68 @@ def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
                         depth_clamp=True)
 
 
+def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
+                        depth_ref, acc_ref, edge_buf, sems, alpha_scr):
+    _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
+                        acc_ref, edge_buf, sems, track_winner=False,
+                        depth_clamp=True, masks_ref=masks_ref,
+                        alpha_scr=alpha_scr)
+
+
 @jax.named_scope("raster.depth")
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
-                    n_tiles_x: int, interpret: bool = False):
-    """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity).
+                    n_tiles_x: int, interpret: bool = False,
+                    alpha_masks=None):
+    """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity,
+    including its alpha clip when alpha_masks is given).
 
     Returns depth (H, W) f32 reverse-Z (0 = far / no coverage).
     """
+    alpha = alpha_masks is not None
+    n_rows = pair_edges.shape[0]
+    assert n_rows == (32 if alpha else 16), n_rows
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    scratch = [
+        pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
+        pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    inputs = [pairs.tile_start, pairs.tile_count, pair_edges]
+    if alpha:
+        in_specs.append(pl.BlockSpec(
+            alpha_masks.shape, lambda ty, tx, *_: (0, 0),
+            memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((GROUP, PX_PER_TILE), jnp.int32))
+        inputs.append(alpha_masks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
-            pltpu.VMEM((2, 16, GROUP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     h = n_tiles_y * TILE_H
     w = n_tiles_x * TILE_W
     (depth,) = pl.pallas_call(
-        _depth_kernel,
+        _depth_kernel_alpha if alpha else _depth_kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
         interpret=interpret,
-    )(pairs.tile_start, pairs.tile_count, pair_edges)
+    )(*inputs)
     return depth
 
 
 def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
-                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem):
+                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
+                    masks_ref=None, alpha_scr=None):
     """Full visibility + attribute resolve for the main view."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
-                        acc_ref, edge_buf, sems, track_winner=True)
+                        acc_ref, edge_buf, sems, track_winner=True,
+                        masks_ref=masks_ref, alpha_scr=alpha_scr)
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -567,17 +748,20 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     lead = start - base
     n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
-    # i32 reshape once; masks derived in 2D (i1 reshapes are Mosaic-illegal)
-    acc2d = acc_ref[...].reshape(TILE_H, TILE_W)  # packed depth|slot
-    valid2d = acc2d != 0
-    slot2d = acc2d & SLOT_MASK  # slot == stream index relative to base
+    # flat (1, PX) packed depth|slot; per-pixel masks stay flat so the
+    # attribute fetch can run as ONE one-hot matmul per slot group on the
+    # MXU (the per-channel take_along_axis version cost 48 lane gathers +
+    # selects per group)
+    acc_flat = acc_ref[...]  # (1, PX)
+    valid_flat = acc_flat != 0
+    slot_flat = acc_flat & SLOT_MASK  # slot == stream index relative to base
 
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
     n_slot_groups = n_groups
 
     def sg_body(sg, _):
-        sel8 = valid2d & ((slot2d >> 7) == sg)
-        hit = jnp.any(sel8)
+        sel = valid_flat & ((slot_flat >> 7) == sg)  # (1, PX)
+        hit = jnp.any(sel)
 
         @pl.when(hit)
         def _():
@@ -588,25 +772,38 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
             )
             dma.start()
             dma.wait()
-            # per-pixel local slot in [0, 128) -> lane-gather indices
-            idx8 = jnp.clip(slot2d - sg * 128, 0, 127)
-            for c in range(NATTR):
-                row = jnp.broadcast_to(attr_buf[c:c + 1, :], (TILE_H, 128))
-                val = jnp.take_along_axis(row, idx8, axis=1)
-                coeff_ref[c] = jnp.where(sel8, val, coeff_ref[c])
+            # one-hot (GROUP, PX): lane s of column px is 1 iff pixel px's
+            # winner is local slot s in this group; coeff[c, px] then falls
+            # out of attr_buf (NATTR, GROUP) @ onehot on the MXU. Winner
+            # slots are unique per pixel, so accumulation across groups is
+            # exact (disjoint supports); HIGHEST precision keeps f32 coeffs
+            # bit-exact through the bf16-pass decomposition (x 1.0 or 0.0).
+            lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE),
+                                            0)
+            onehot = ((slot_flat - sg * 128) == lane) & sel
+            vals = jax.lax.dot_general(
+                attr_buf[...], onehot.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            coeff_ref[...] = coeff_ref[...] + vals
         return 0
 
     jax.lax.fori_loop(0, n_slot_groups, sg_body, 0)
 
-    # evaluate attribute planes per pixel
-    lin = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    x = lin.astype(jnp.float32) + 0.5 + (tx * TILE_W)
-    yrow = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    y = yrow.astype(jnp.float32) + 0.5 + (ty * TILE_H)
-    valid = valid2d
+    # evaluate attribute planes per pixel, flat (1, PX); reshape each output
+    # channel to (TILE_H, TILE_W) once at the end (the acc2d pattern)
+    basis = _pixel_basis(ty, tx)  # (4, PX): x, y, 1, 0 rows
+    x = basis[0:1]
+    y = basis[1:2]
+    valid = valid_flat
 
     def ev(base):
-        return coeff_ref[base] * x + coeff_ref[base + 1] * y + coeff_ref[base + 2]
+        return (coeff_ref[base:base + 1] * x + coeff_ref[base + 1:base + 2]
+                * y + coeff_ref[base + 2:base + 3])
+
+    def out2d(ch, val_flat):
+        gbuf_ref[ch] = val_flat.reshape(TILE_H, TILE_W)
 
     inv_w = ev(0)
     w = jnp.where(valid, 1.0 / jnp.maximum(inv_w, 1e-12), 0.0)
@@ -615,15 +812,15 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     u = u_over_w * w
     v = v_over_w * w
     # rational derivatives: d(U/W)/dx = (Ua - u * Wa) * w
-    ua, ub = coeff_ref[3], coeff_ref[4]
-    va, vb = coeff_ref[6], coeff_ref[7]
-    wa, wb = coeff_ref[0], coeff_ref[1]
-    gbuf_ref[_CH_U] = u
-    gbuf_ref[_CH_V] = v
-    gbuf_ref[_CH_DUDX] = (ua - u * wa) * w
-    gbuf_ref[_CH_DVDX] = (va - v * wa) * w
-    gbuf_ref[_CH_DUDY] = (ub - u * wb) * w
-    gbuf_ref[_CH_DVDY] = (vb - v * wb) * w
+    ua, ub = coeff_ref[3:4], coeff_ref[4:5]
+    va, vb = coeff_ref[6:7], coeff_ref[7:8]
+    wa, wb = coeff_ref[0:1], coeff_ref[1:2]
+    out2d(_CH_U, u)
+    out2d(_CH_V, v)
+    out2d(_CH_DUDX, (ua - u * wa) * w)
+    out2d(_CH_DVDX, (va - v * wa) * w)
+    out2d(_CH_DUDY, (ub - u * wb) * w)
+    out2d(_CH_DVDY, (vb - v * wb) * w)
 
     def vec3(base_row, out_base, normalize):
         cx = ev(base_row) * w
@@ -633,9 +830,9 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
             inv_len = jax.lax.rsqrt(jnp.maximum(cx * cx + cy * cy + cz * cz,
                                                 1e-20))
             cx, cy, cz = cx * inv_len, cy * inv_len, cz * inv_len
-        gbuf_ref[out_base] = jnp.where(valid, cx, 0.0)
-        gbuf_ref[out_base + 1] = jnp.where(valid, cy, 0.0)
-        gbuf_ref[out_base + 2] = jnp.where(valid, cz, 0.0)
+        out2d(out_base, jnp.where(valid, cx, 0.0))
+        out2d(out_base + 1, jnp.where(valid, cy, 0.0))
+        out2d(out_base + 2, jnp.where(valid, cz, 0.0))
 
     vec3(9, _CH_N, True)
     vec3(18, _CH_T, True)
@@ -645,14 +842,25 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     prev_y = ev(39) * w
     prev_w = ev(42) * w
     inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
-    gbuf_ref[_CH_PREV] = jnp.where(valid, prev_x * inv_pw, 0.0)
-    gbuf_ref[_CH_PREV + 1] = jnp.where(valid, prev_y * inv_pw, 0.0)
-    gbuf_ref[_CH_MAT] = coeff_ref[47]
+    out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
+    out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
+    out2d(_CH_MAT, coeff_ref[47:48])
+
+
+def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
+                          masks_ref, depth_ref, vis_ref, gbuf_ref,
+                          acc_ref, coeff_ref, edge_buf, attr_buf, sems,
+                          attr_sem, alpha_scr):
+    _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
+                    depth_ref, vis_ref, gbuf_ref,
+                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
+                    masks_ref=masks_ref, alpha_scr=alpha_scr)
 
 
 @jax.named_scope("raster.gbuffer")
 def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
-                      n_tiles_y: int, n_tiles_x: int, interpret: bool = False):
+                      n_tiles_y: int, n_tiles_x: int, interpret: bool = False,
+                      alpha_masks=None):
     """Main-view rasterization producing depth + visibility + G-buffer.
 
     G-buffer channels: uv (0-1), uv screen derivatives (2-5), world normal
@@ -660,13 +868,32 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
     material id (17) — the depthPrepass.frag outputs plus what triangle.vert
     would feed the forward pass, resolved visibility-buffer style.
     """
+    alpha = alpha_masks is not None
+    n_rows = pair_edges.shape[0]
+    assert n_rows == (32 if alpha else 16), n_rows
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    scratch = [
+        pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
+        pltpu.VMEM((NATTR, PX_PER_TILE), jnp.float32),
+        pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
+        pltpu.VMEM((NATTR, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    inputs = [pairs.tile_start, pairs.tile_count, pair_edges, pair_attrs]
+    if alpha:
+        in_specs.append(pl.BlockSpec(
+            alpha_masks.shape, lambda ty, tx, *_: (0, 0),
+            memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((GROUP, PX_PER_TILE), jnp.int32))
+        inputs.append(alpha_masks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
@@ -676,19 +903,12 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
                          lambda ty, tx, *_: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
-            pltpu.VMEM((NATTR, TILE_H, TILE_W), jnp.float32),
-            pltpu.VMEM((2, 16, GROUP), jnp.float32),
-            pltpu.VMEM((NATTR, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
     )
     h = n_tiles_y * TILE_H
     w = n_tiles_x * TILE_W
     depth, vis, gbuf = pl.pallas_call(
-        _gbuffer_kernel,
+        _gbuffer_kernel_alpha if alpha else _gbuffer_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
@@ -696,7 +916,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
             jax.ShapeDtypeStruct((GBUF_CHANNELS, h, w), jnp.float32),
         ],
         interpret=interpret,
-    )(pairs.tile_start, pairs.tile_count, pair_edges, pair_attrs)
+    )(*inputs)
     return depth, vis, gbuf
 
 
@@ -720,22 +940,40 @@ def winner_triangle_ids(vis: jnp.ndarray, pairs: PairLists,
 
 
 def reference_rasterize(setup_edges: np.ndarray, valid: np.ndarray,
-                        width: int, height: int):
+                        width: int, height: int,
+                        alpha_masks: np.ndarray | None = None):
     """Brute-force numpy rasterizer with identical rules (reverse-Z max,
-    inside = all edges >= 0 at pixel centers). setup_edges is (3, 4, T)."""
+    inside = all edges >= 0 at pixel centers). setup_edges is (3, 4|8, T);
+    with 8 planes + alpha_masks the same 64x64 nearest-with-wrap alpha
+    test as the Pallas kernels is applied."""
     xs = np.arange(width) + 0.5
     ys = np.arange(height) + 0.5
     depth = np.zeros((height, width), np.float32)
     winner = np.full((height, width), -1, np.int32)
-    a, b, c = setup_edges[0], setup_edges[1], setup_edges[2]  # (4, T)
+    a, b, c = setup_edges[0], setup_edges[1], setup_edges[2]  # (planes, T)
+    n_planes = setup_edges.shape[1]
     for t in range(setup_edges.shape[2]):
         if not valid[t]:
             continue
         ex = a[:, t][:, None, None] * xs[None, None, :] + \
             b[:, t][:, None, None] * ys[None, :, None] + c[:, t][:, None, None]
         cov = (ex[0] >= 0) & (ex[1] >= 0) & (ex[2] >= 0)
+        cov = cov & (ex[3] > 0) & (ex[3] <= 1.0)  # far + near clip
+        if n_planes == 8 and alpha_masks is not None:
+            slot = int(round(c[7, t]))
+            if slot > 0:
+                inv = 1.0 / np.where(ex[6] > 1e-12, ex[6], 1.0)
+                u = ex[4] * inv
+                v = ex[5] * inv
+                ix = np.clip((u - np.floor(u)) * 64.0, 0.0, 63.0) \
+                    .astype(np.int32)
+                iy = np.clip((v - np.floor(v)) * 64.0, 0.0, 63.0) \
+                    .astype(np.int32)
+                word = alpha_masks[slot - 1][iy * 2 + (ix >= 32)]
+                bit = (word >> (ix & 31)) & 1
+                cov = cov & (bit == 1)
         z = np.clip(ex[3], 0.0, 1.0)
-        upd = cov & (z > 0) & (z >= depth)
+        upd = cov & (z >= depth)
         depth[upd] = z[upd]
         winner[upd] = t
     return depth, winner

@@ -507,19 +507,26 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
     margin_y = min(int(_SPATIAL_NOMINAL_R) + 1, y_sh.shape[-2] - 1)
     margin_x = min(int(_SPATIAL_NOMINAL_R) + 1, y_sh.shape[-1] - 1)
 
+    # pad ONCE, outside the rotation switch: per-branch pads materialize as
+    # separate ~2 ms kLoop fusions per branch (measured); the hoisted pads
+    # fuse with their producers and cross the switch boundary as operands
+    pw_ = EdgePadded(world_pos, margin_y, margin_x)
+    py_ = EdgePadded(y_sh, margin_y, margin_x)
+    pc_ = EdgePadded(cocg, margin_y, margin_x)
+
     def make_branch(rotation: int):
         offsets = _clamp_offs(y_sh, _spiral_offsets(seed, rotation))
 
         def branch(operands):
-            y_sh, cocg, normal, world_pos, radius_px = operands
-            pw_ = EdgePadded(world_pos, margin_y, margin_x)
-            py_ = EdgePadded(y_sh, margin_y, margin_x)
-            pc_ = EdgePadded(cocg, margin_y, margin_x)
-            acc_y = jnp.zeros_like(y_sh)
-            acc_c = jnp.zeros_like(cocg)
+            pw_pad, py_pad, pc_pad, normal, world_pos, radius_px = operands
+            pw = EdgePadded.from_padded(pw_pad, margin_y, margin_x)
+            py = EdgePadded.from_padded(py_pad, margin_y, margin_x)
+            pc = EdgePadded.from_padded(pc_pad, margin_y, margin_x)
+            acc_y = jnp.zeros((4,) + radius_px.shape, y_sh.dtype)
+            acc_c = jnp.zeros((2,) + radius_px.shape, cocg.dtype)
             total = jnp.zeros_like(radius_px)
             for dy, dx in offsets:
-                p2 = pw_.tap_fwd(dy, dx)
+                p2 = pw.tap_fwd(dy, dx)
                 dist_plane = jnp.abs(
                     jnp.sum(normal * (p2 - world_pos), axis=0))
                 w = jnp.clip(0.25 / jnp.maximum(dist_plane, 1e-4),
@@ -527,8 +534,8 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
                 # per-pixel radius: taps beyond radius_px fade to zero
                 tap_r = float(np.hypot(dx, dy))
                 w = w * jnp.clip(radius_px / tap_r, 0.0, 1.0) ** 2
-                acc_y = acc_y + py_.tap_fwd(dy, dx) * w[None]
-                acc_c = acc_c + pc_.tap_fwd(dy, dx) * w[None]
+                acc_y = acc_y + py.tap_fwd(dy, dx) * w[None]
+                acc_c = acc_c + pc.tap_fwd(dy, dx) * w[None]
                 total = total + w
             return acc_y, acc_c, total
 
@@ -537,7 +544,7 @@ def spatial_filter(y_sh, cocg, normal, world_pos, lin_depth, frame_index,
     acc_y, acc_c, total = jax.lax.switch(
         frame_index % _SPATIAL_ROTATIONS,
         [make_branch(k) for k in range(_SPATIAL_ROTATIONS)],
-        (y_sh, cocg, normal, world_pos, radius_px))
+        (pw_.padded, py_.padded, pc_.padded, normal, world_pos, radius_px))
     acc_y = acc_y + y_sh
     acc_c = acc_c + cocg
     total = total + 1.0

@@ -34,6 +34,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.stencil import point_downsample
+
 K_EXP = 3.0  # volumetricFroxelLighting.inc:22
 
 
@@ -141,10 +143,16 @@ def material_volume(world_pos, settings, wind_offset, noise_stride: int = 2):
     samples a prebaked 3D texture, which is equally band-limited)."""
     s = noise_stride
     d, hf, wf = world_pos.shape[1:]
+    # depth-axis stride via reshape+contiguous-slice, screen axes via the
+    # conv-based point_downsample: inside the big frame program XLA
+    # canonicalizes strided slices into full index-vector gathers
+    # (~10 cycles/element; see utils/stencil.point_downsample)
+    wp_c = point_downsample(
+        world_pos.reshape(3, d // s, s, hf, wf)[:, :, 0], s, s)
     noise_c = analytic_perlin_3d_planar(
-        world_pos[0, ::s, ::s, ::s] * 0.5 + wind_offset[0],
-        world_pos[1, ::s, ::s, ::s] * 0.5 + wind_offset[1],
-        world_pos[2, ::s, ::s, ::s] * 0.5 + wind_offset[2])
+        wp_c[0] * 0.5 + wind_offset[0],
+        wp_c[1] * 0.5 + wind_offset[1],
+        wp_c[2] * 0.5 + wind_offset[2])
     noise = jax.image.resize(noise_c, (d, hf, wf), method="trilinear") \
         if s > 1 else noise_c
     density = settings.base_density + settings.noise_density * (noise - 0.5)
@@ -288,8 +296,8 @@ def apply_froxel_fog(color, pixel_depth, integrated, max_distance, noise,
     _, h, w = color.shape
     _, d, hf, wf = integrated.shape
     q = quarter
-    depth_q = pixel_depth[::q, ::q]
-    noise_q = noise[::q, ::q]
+    depth_q = point_downsample(pixel_depth, q, q)
+    noise_q = point_downsample(noise, q, q)
     hq, wq = depth_q.shape
     uvz = depth_to_froxel_uvz(jnp.maximum(depth_q, 1e-4), max_distance)
     z_idx = jnp.clip(((uvz + (noise_q - 0.5) * 0.013) * d).astype(jnp.int32),

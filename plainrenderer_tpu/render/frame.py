@@ -78,6 +78,69 @@ def _projection(settings: RenderSettings, fov=FOV_DEG, near=NEAR_PLANE,
 _JITTER_TABLE = sampling.taa_jitter_sequence(8) * 2.0  # TAA.cpp:168-170
 
 
+@jax.named_scope("scene.object_transforms")
+def _apply_object_transforms(scene, transforms, positions_only=False):
+    """Dynamic scenes (App.cpp:64-74, SDFGI.cpp:260-313 per-frame model
+    matrices): apply per-object DELTA transforms (current model matrix x
+    the build-time inverse) to the baked world-space corner arrays.
+
+    transforms (O, 4, 4) is a TRACED input — objects move without any
+    recompile. Cost is one (T, 12) row gather + ~60 flops/triangle, paid
+    only when the scene dict carries 'object_transforms'. Returns
+    (corners, normals, tangents, bitangents[, bb_min, bb_max]); attribute
+    vectors are rotated by the delta's inverse-transpose (exact under
+    non-uniform scale; the raster kernel renormalizes per pixel)."""
+    delta = jnp.einsum("oij,ojk->oik", transforms,
+                       scene["object_build_inv"],
+                       precision=jax.lax.Precision.HIGHEST)
+    rows = delta[:, :3, :].reshape(-1, 12)  # (O, 12)
+    tr = rows[scene["tri_object"]]  # (T, 12) contiguous row gather
+
+    def col(i):  # (T, 1) broadcast against (T, 3 corners)
+        return tr[:, i:i + 1]
+
+    def apply_pts(c):
+        x, y, z = c[..., 0], c[..., 1], c[..., 2]
+        return jnp.stack([
+            col(0) * x + col(1) * y + col(2) * z + col(3),
+            col(4) * x + col(5) * y + col(6) * z + col(7),
+            col(8) * x + col(9) * y + col(10) * z + col(11),
+        ], axis=-1)
+
+    corners = apply_pts(scene["corners"])
+    if positions_only:
+        return corners
+    # inverse-transpose rotation for direction attributes
+    nrm_mat = jnp.linalg.inv(delta[:, :3, :3]).transpose(0, 2, 1)
+    nrows = nrm_mat.reshape(-1, 9)[scene["tri_object"]]  # (T, 9)
+
+    def apply_dir(c):
+        x, y, z = c[..., 0], c[..., 1], c[..., 2]
+
+        def ncol(i):
+            return nrows[:, i:i + 1]
+
+        return jnp.stack([
+            ncol(0) * x + ncol(1) * y + ncol(2) * z,
+            ncol(3) * x + ncol(4) * y + ncol(5) * z,
+            ncol(6) * x + ncol(7) * y + ncol(8) * z,
+        ], axis=-1)
+
+    normals = apply_dir(scene["corner_normals"])
+    tangents = apply_dir(scene["corner_tangents"])
+    bitangents = apply_dir(scene["corner_bitangents"])
+    # culling AABBs: transformed-AABB bound via the |R| trick (AABB.cpp
+    # axisAlignedBoundingBoxTransformed analog)
+    bmin, bmax = scene["object_bb_min"], scene["object_bb_max"]
+    ctr = (bmin + bmax) * 0.5
+    ext = (bmax - bmin) * 0.5
+    r = delta[:, :3, :3]
+    t = delta[:, :3, 3]
+    nctr = jnp.einsum("oij,oj->oi", r, ctr) + t
+    next_ = jnp.einsum("oij,oj->oi", jnp.abs(r), ext)
+    return corners, normals, tangents, bitangents, nctr - next_, nctr + next_
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "interpret", "axis_name", "full_height"),
@@ -159,27 +222,49 @@ def render_frame(
         jitter_ndc = jnp.zeros(2, jnp.float32)
     view_proj = proj @ view
 
+    # --- dynamic object transforms (App.cpp:64-74 per-frame matrices) ---
+    if "object_transforms" in scene:
+        (g_corners, g_normals, g_tangents, g_bitangents,
+         obj_bb_min, obj_bb_max) = _apply_object_transforms(
+            scene, scene["object_transforms"])
+        prev_g_corners = _apply_object_transforms(
+            scene, scene["prev_object_transforms"], positions_only=True)
+    else:
+        g_corners = scene["corners"]
+        g_normals = scene["corner_normals"]
+        g_tangents = scene["corner_tangents"]
+        g_bitangents = scene["corner_bitangents"]
+        obj_bb_min = scene["object_bb_min"]
+        obj_bb_max = scene["object_bb_max"]
+        prev_g_corners = None
+
     # --- CPU frustum cull analog (RenderFrontend.cpp:565-587) ---
     from ..scene.frustum import expand_object_mask, visible_objects_clipspace
 
     t_count = scene["corners"].shape[0]
     obj_visible = visible_objects_clipspace(
-        view_proj, scene["object_bb_min"], scene["object_bb_max"])
+        view_proj, obj_bb_min, obj_bb_max)
     tri_visible = expand_object_mask(obj_visible, scene["tri_starts"],
                                      t_count)
 
     # --- G-buffer raster (passes 5, 12 geometry side) ---
+    alpha_masks = scene.get("alpha_masks")
+    alpha_slots = scene.get("tri_alpha_slot")
     setup = raster.geometry_setup(
-        scene["corners"], scene["corner_uvs"], scene["corner_normals"],
-        scene["corner_tangents"], scene["corner_bitangents"],
+        g_corners, scene["corner_uvs"], g_normals,
+        g_tangents, g_bitangents,
         scene["tri_material"],
         tri_visible,
         view_proj, state.prev_view_projection, pw, ph, cull="back",
+        near_w=NEAR_PLANE,
+        tri_alpha_slot=alpha_slots,
+        prev_corners=prev_g_corners,
     )
     pairs = raster.build_pairs(setup, nty, ntx)
     pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True)
     depth, vis, gbuf = raster.rasterize_gbuffer(
-        pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret)
+        pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret,
+        alpha_masks=alpha_masks)
     valid = vis >= 0
 
     # --- shading inputs ---
@@ -251,22 +336,24 @@ def render_frame(
             cas_visible = jax.vmap(
                 lambda m: expand_object_mask(
                     visible_objects_clipspace(
-                        m, scene["object_bb_min"], scene["object_bb_max"],
+                        m, obj_bb_min, obj_bb_max,
                         cull_z=False),
                     scene["tri_starts"], t_count))(cas_mats)
             s_setup = jax.vmap(
                 lambda m, vis: raster.geometry_setup(
-                    scene["corners"], scene["corner_uvs"],
-                    scene["corner_normals"], scene["corner_tangents"],
-                    scene["corner_bitangents"], scene["tri_material"],
-                    vis, m, m, sres, sres, cull="none", with_attrs=False)
+                    g_corners, scene["corner_uvs"],
+                    g_normals, g_tangents,
+                    g_bitangents, scene["tri_material"],
+                    vis, m, m, sres, sres, cull="none", with_attrs=False,
+                    tri_alpha_slot=alpha_slots)
             )(cas_mats, cas_visible)
             # shift each cascade's edge planes into its atlas row band:
             # evaluating at atlas y needs c' = c - b*off, and offset bboxes
             y_off = (jnp.arange(n_cas, dtype=jnp.float32)
                      * sres).reshape(n_cas, 1, 1)
             edges_a = s_setup.edges.at[:, 2].add(-s_setup.edges[:, 1] * y_off)
-            edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, 4, -1)
+            n_pl = edges_a.shape[2]
+            edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, n_pl, -1)
             offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
             bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
             bbox_a = bbox_a.at[..., 2].add(offs)
@@ -279,7 +366,8 @@ def render_frame(
                                      n_views=n_cas)
         s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
         atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
-                                       s_ntx, interpret=interpret)
+                                       s_ntx, interpret=interpret,
+                                       alpha_masks=alpha_masks)
         shadow_maps = atlas.reshape(n_cas, sres, sres)
         if n_cas < shadow.MAX_CASCADES:
             shadow_maps = jnp.concatenate([
@@ -334,8 +422,10 @@ def render_frame(
         stride = 2 if half else 1
         gh, gw = state.gi_history.shape[1:]
 
+        from ..utils.stencil import point_downsample
+
         def to_gi_res(plane):
-            p = plane[..., ::stride, ::stride]
+            p = point_downsample(plane, stride, stride)
             pad_h = gh - p.shape[-2]
             pad_w = gw - p.shape[-1]
             widths = [(0, 0)] * (p.ndim - 2) + [(0, pad_h), (0, pad_w)]
@@ -648,12 +738,21 @@ def scene_to_device(rs) -> dict:
         "tri_starts": jnp.asarray(np.searchsorted(
             rs.tri_object[:rs.triangle_count],
             np.arange(rs.object_count)).astype(np.int32)),
+        # build-pose inverses: dynamic scenes compose per-frame matrices
+        # with these to get delta transforms (App.cpp:64-74 analog). The
+        # caller opts in by adding 'object_transforms' /
+        # 'prev_object_transforms' (O, 4, 4) traced arrays to this dict.
+        "object_build_inv": jnp.asarray(np.linalg.inv(
+            np.asarray(rs.object_matrices, np.float64)).astype(np.float32)),
     }
     if rs.tex_word0 is not None:
         scene["mat_tex"] = jnp.asarray(rs.mat_tex)
         scene["tex_info"] = jnp.asarray(rs.tex_info)
         scene["tex_word0"] = jnp.asarray(rs.tex_word0)
         scene["tex_word1"] = jnp.asarray(rs.tex_word1)
+    if getattr(rs, "alpha_masks", None) is not None:
+        scene["alpha_masks"] = jnp.asarray(rs.alpha_masks)
+        scene["tri_alpha_slot"] = jnp.asarray(rs.tri_alpha_slot)
     return scene
 
 

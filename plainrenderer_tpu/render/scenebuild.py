@@ -29,9 +29,14 @@ class RenderScene:
     corner_bitangents: np.ndarray  # (T, 3, 3)
     tri_material: np.ndarray  # (T,) f32 material id
     tri_object: np.ndarray  # (T,) int32 object id
+    tri_alpha_slot: np.ndarray  # (T,) int32 — 0 = opaque, s>0 = alpha-test
+    #   against alpha_masks[s-1] (depthPrepass.frag:28-31 clip at 0.5)
     material_table: np.ndarray  # (M, 8): albedo rgb, roughness, metal, pad
     object_bb_min: np.ndarray  # (O, 3) world AABBs for culling
     object_bb_max: np.ndarray  # (O, 3)
+    object_matrices: np.ndarray  # (O, 4, 4) build-time model matrices —
+    #   the reference pose; dynamic scenes pass per-frame matrices relative
+    #   to these (render/frame._apply_object_transforms)
     mean_albedo: np.ndarray  # (M, 3) per-material mean albedo (GI bounce)
     sdf_paths: list  # per-object SDF volume path ('' if none)
     triangle_count: int
@@ -41,6 +46,9 @@ class RenderScene:
     tex_info: np.ndarray | None = None  # (n_tex * n_mips, 4) i32
     tex_word0: np.ndarray | None = None  # (NB, 8, 128) i32
     tex_word1: np.ndarray | None = None  # (NB, 8, 128) i32
+    alpha_masks: np.ndarray | None = None  # (MAX_ALPHA_MATERIALS, 128) i32
+    #   64x64 bit masks (assets/textures.build_alpha_mask); None = no
+    #   alpha-tested materials in the scene
 
 
 def _mesh_arrays(mesh) -> dict:
@@ -144,6 +152,18 @@ def build_render_scene(scene: Scene | SceneBinary,
         [mesh_tex_index[obj.mesh_index] for obj in scene.objects], np.int32)
     pool = tex_mod.build_texture_pool(tex_sets) if tex_sets else None
 
+    # per-object alpha-test slot (depthPrepass.frag:28-31 alpha clip): the
+    # texture pool assigns alpha-tested texture sets a mask slot; objects
+    # using that texture alpha-test against alpha_masks[slot-1]
+    obj_slot = []
+    for obj in scene.objects:
+        ti = mesh_tex_index[obj.mesh_index]
+        obj_slot.append(int(pool.alpha_slot[ti])
+                        if (pool is not None and ti >= 0) else 0)
+    tri_alpha_slot = [np.full(len(tm), obj_slot[oi], np.int32)
+                      for oi, tm in enumerate(tri_material)]
+    any_alpha = any(s > 0 for s in obj_slot)
+
     corners = np.concatenate(corners)
     t_count = corners.shape[0]
     pad = (-t_count) % pad_triangles_to
@@ -162,9 +182,13 @@ def build_render_scene(scene: Scene | SceneBinary,
         corner_bitangents=_pad(np.concatenate(bitangents)),
         tri_material=_pad(np.concatenate(tri_material)),
         tri_object=_pad(np.concatenate(tri_object)),
+        tri_alpha_slot=_pad(np.concatenate(tri_alpha_slot)),
         material_table=np.stack(materials),
         object_bb_min=np.stack(bb_mins),
         object_bb_max=np.stack(bb_maxs),
+        object_matrices=np.stack([
+            np.asarray(obj.model_matrix, np.float32)
+            for obj in scene.objects]),
         mean_albedo=np.stack(mean_albedos),
         sdf_paths=sdf_paths,
         triangle_count=t_count,
@@ -173,6 +197,8 @@ def build_render_scene(scene: Scene | SceneBinary,
         tex_info=pool.info if pool is not None else None,
         tex_word0=pool.word0 if pool is not None else None,
         tex_word1=pool.word1 if pool is not None else None,
+        alpha_masks=pool.alpha_masks if (pool is not None and any_alpha)
+        else None,
     )
 
 

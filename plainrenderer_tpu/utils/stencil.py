@@ -17,6 +17,37 @@ import jax
 import jax.numpy as jnp
 
 
+def point_downsample(x, sy: int, sx: int):
+    """Point-subsample the trailing 2 axes: out[..., i, j] = x[..., i*sy, j*sx].
+
+    Semantically x[..., ::sy, ::sx] — but expressed as select-to--inf +
+    max_pool. Inside large programs XLA's TPU simplifier canonicalizes
+    strided slices (fused with their pad/select neighbors) into full
+    index-vector GATHERS at ~10 cycles/element: the six half-res GI guide
+    subsamples measured 27 ms/frame at 1080p. A 1x1 strided conv avoids the
+    gather but forces NCHW layout-relayout copies (~1.5-2.7 ms each,
+    measured). reduce_window is TPU-native in the screen layout: the mask
+    select fuses into the producer and the pool is bandwidth-bound.
+    """
+    if sy == 1 and sx == 1:
+        return x
+    h, w = x.shape[-2:]
+    dtype = x.dtype
+    xf = x if dtype in (jnp.float32, jnp.bfloat16) else x.astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    keep = ((row % sy) == 0) & ((col % sx) == 0)
+    ninf = jnp.asarray(-jnp.inf, xf.dtype)
+    masked = jnp.where(keep, xf, ninf)
+    out = jax.lax.reduce_window(
+        masked, ninf, jax.lax.max,
+        (1,) * (x.ndim - 2) + (sy, sx),
+        (1,) * (x.ndim - 2) + (sy, sx), "VALID")
+    if dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(dtype)
+
+
 class EdgePadded:
     """Edge-replicated padding of the trailing 2 axes + static shift taps.
 
@@ -33,6 +64,21 @@ class EdgePadded:
         widths = [(0, 0)] * (x.ndim - 2) + [(self.my, self.my),
                                             (self.mx, self.mx)]
         self.padded = jnp.pad(x, widths, mode="edge")
+
+    @classmethod
+    def from_padded(cls, padded: jnp.ndarray, margin_y: int,
+                    margin_x: int) -> "EdgePadded":
+        """Wrap an ALREADY-padded array (e.g. one carried across a
+        lax.switch boundary so the pad happens once, outside the branches —
+        per-branch pads materialize per branch, ~2 ms each at GI res)."""
+        self = cls.__new__(cls)
+        self.my = int(margin_y)
+        self.mx = int(margin_x)
+        self.h = padded.shape[-2] - 2 * self.my
+        self.w = padded.shape[-1] - 2 * self.mx
+        self.lead = padded.shape[:-2]
+        self.padded = padded
+        return self
 
     def tap(self, dy: int, dx: int) -> jnp.ndarray:
         assert abs(dy) <= self.my and abs(dx) <= self.mx, (dy, dx, self.my,

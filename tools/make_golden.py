@@ -22,7 +22,8 @@ def render_golden_frames(n_frames: int = 3):
     import numpy as np
 
     from plainrenderer_tpu.assets import procedural
-    from plainrenderer_tpu.config import RenderSettings, SDFTraceSettings
+    from plainrenderer_tpu.config import (RenderSettings, SDFTraceSettings,
+                                          ShadowSettings)
     from plainrenderer_tpu.ops import sdf_scene
     from plainrenderer_tpu.render import frame as frame_mod
     from plainrenderer_tpu.render import scenebuild
@@ -41,6 +42,9 @@ def render_golden_frames(n_frames: int = 3):
     settings = RenderSettings(
         width=256, height=128,
         sdf_trace=SDFTraceSettings(enabled=True, trace_steps=16),
+        # tests pin 1024 shadows: full reference parity (2048) is a bench /
+        # production default; the golden predates the default bump
+        shadows=ShadowSettings(resolution=1024),
         exposure_adaption_speed=1000.0)
     luts = frame_mod.bake_static_luts(settings)
     state = initial_state(256, 128)

@@ -68,7 +68,8 @@ def main():
                                    trace_steps=32),
         taa=TAASettings(use_separate_supersampling=True),
     )
-    state = initial_state(settings.width, settings.height)
+    state = initial_state(settings.width, settings.height,
+                          gi_half_res=settings.sdf_trace.half_resolution)
     ext = cam.extrinsic_from_angles([-9.0, -1.8, 0.0], pitch_deg=8.0,
                                     yaw_deg=10.0)
     camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
