@@ -117,3 +117,5 @@ class RenderSettings:
     exposure_offset: float = 1.0  # ResourceDescriptions.h:193
     exposure_adaption_speed: float = 2.0  # ResourceDescriptions.h:194
     sun_direction_angles: tuple = (0.0, 45.0)  # (phi, theta) deg; ref default (0,0)=zenith (RenderFrontend.h:141)
+    # debug AABB wireframes (debug.vert + RenderFrontend.cpp:947-956)
+    draw_bounding_boxes: bool = False

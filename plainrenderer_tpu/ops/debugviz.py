@@ -184,3 +184,50 @@ def cascade_debug_tint(hdr, cascade_idx, cascade_count: int):
         sel = (cascade_idx == c)[None]
         tint = jnp.where(sel, col.reshape(3, 1, 1), tint)
     return hdr * (0.5 + 0.5 * tint)
+
+
+@jax.named_scope("debug.aabb_lines")
+def aabb_line_overlay(image_u8, bb_min, bb_max, view_proj,
+                      width: int, height: int,
+                      color=(255, 255, 0), samples_per_edge: int = 256):
+    """Draw object AABB wireframes over the tonemapped image.
+
+    Parity: debug geometry pass (resources/shaders/debug.vert +
+    RenderFrontend.cpp:947-956 drawBoundingBoxes) — the reference renders
+    GL_LINES through a dedicated pipeline; fixed-function line raster has no
+    TPU analog, so each of the 12 box edges is point-sampled at
+    `samples_per_edge` positions, projected, and scattered into the frame
+    (a debug tool, not a hot path — scatters are acceptable here).
+
+    image_u8 (H, W, 3) u8; bb_min/bb_max (O, 3); view_proj (4, 4).
+    """
+    o = bb_min.shape[0]
+    lo, hi = bb_min, bb_max
+    # 8 corners per object: bit c selects min/max per axis
+    corners = jnp.stack([
+        jnp.stack([jnp.where((c >> a) & 1, hi[:, a], lo[:, a])
+                   for a in range(3)], axis=-1)
+        for c in range(8)], axis=1)  # (O, 8, 3)
+    edge_ids = jnp.asarray(
+        [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6), (3, 7),
+         (4, 5), (4, 6), (5, 7), (6, 7)], jnp.int32)  # cube edge corner ids
+    p0 = corners[:, edge_ids[:, 0]].reshape(-1, 3)  # (O*12, 3)
+    p1 = corners[:, edge_ids[:, 1]].reshape(-1, 3)
+    t = (jnp.arange(samples_per_edge, dtype=jnp.float32) + 0.5) \
+        / samples_per_edge
+    pts = p0[:, None] + (p1 - p0)[:, None] * t[:, None]  # (E, S, 3)
+    pts = pts.reshape(-1, 3)
+    clip = pts @ view_proj[:3, :3].T + view_proj[:3, 3]
+    w = pts @ view_proj[3, :3] + view_proj[3, 3]
+    okw = w > 1e-6
+    ndc = clip[:, :2] / jnp.where(okw[:, None], w[:, None], 1.0)
+    px = ((ndc[:, 0] * 0.5 + 0.5) * width).astype(jnp.int32)
+    py = ((ndc[:, 1] * 0.5 + 0.5) * height).astype(jnp.int32)
+    ok = (okw & (px >= 0) & (px < width) & (py >= 0) & (py < height))
+    # clamp & redirect rejected points to pixel (0,0) with a zero write
+    px = jnp.where(ok, px, 0)
+    py = jnp.where(ok, py, 0)
+    col = jnp.asarray(color, jnp.uint8)
+    mask = jnp.zeros((height, width), jnp.uint8)
+    mask = mask.at[py, px].max(jnp.where(ok, jnp.uint8(1), jnp.uint8(0)))
+    return jnp.where(mask[..., None] > 0, col, image_u8)

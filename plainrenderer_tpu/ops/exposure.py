@@ -35,8 +35,14 @@ def compute_histogram(color, previous_exposure, n_bins: int = N_BINS,
     downsample strides the input (exposure statistics are insensitive to it;
     counts are rescaled so percentages match the full-resolution histogram).
     """
-    c = color[:, ::downsample, ::downsample]
-    lum = (0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
+    from ..utils.stencil import point_downsample
+
+    # luminance BEFORE the subsample: one plane through the stride machinery
+    # instead of three (and the strided slice would canonicalize into a
+    # full index-vector gather inside the frame program — see
+    # utils/stencil.point_downsample)
+    lum = (0.2126 * color[0] + 0.7152 * color[1] + 0.0722 * color[2])
+    lum = point_downsample(lum, downsample, downsample)
     lum = lum / jnp.maximum(previous_exposure, 1e-9)
     log_min = jnp.log(min_lum)
     log_max = jnp.log(max_lum)

@@ -65,7 +65,16 @@ GROUP = 128  # pairs per DMA + MXU step; 128 satisfies DMA lane alignment
 SLOT_BITS = 11  # pair-slot bits packed into the depth mantissa
 SLOT_MASK = (1 << SLOT_BITS) - 1
 MAX_PAIRS_PER_TILE = 1 << SLOT_BITS
-NATTR = 48  # attribute-plane rows per triangle (16 planes x 3 coeffs)
+NATTR = 30  # attribute-plane rows per triangle (10 planes x 3 coeffs):
+#   1/w, u/w, v/w, normal xyz, tangent xyz, material+handedness const.
+#   Bitangents are NOT interpolated: B = handedness * cross(N, T) per pixel
+#   (the corner bitangent's only degree of freedom vs cross(N, T) is its
+#   sign; reconstruction halves the vec3 plane count). Previous-frame clip
+#   planes (+9 rows, NATTR_PREV) exist only for dynamic scenes — a static
+#   scene's motion vectors come EXACTLY from reprojecting the depth-derived
+#   world position with the previous view-projection (same surface point,
+#   same matrix; the per-vertex path only differs when objects move).
+NATTR_PREV = NATTR + 9
 
 def pad_resolution(width: int, height: int) -> tuple[int, int]:
     """Framebuffer padded so tiles divide it exactly."""
@@ -214,33 +223,51 @@ def geometry_setup(
     ).astype(jnp.float32)
 
     # tile bbox over the projection of the triangle's NON-CLIPPED part:
-    # vertices with w >= near_lim plus edge/near-plane intersection points
+    # vertices with w >= near_lim plus edge/near-plane intersection points.
+    # near_w == 0 (orthographic views: shadow cascades, w === 1) takes the
+    # plain vertex min/max — the 9-candidate near-clip machinery is ~20
+    # elementwise passes over (T, 9) arrays that ortho projections never
+    # need (measured several ms at shadow-atlas triangle counts)
     ntx = width // TILE_W
     nty = height // TILE_H
-    big = jnp.float32(1e9)
-    cand_x, cand_y, cand_ok = [], [], []
-    for v in range(3):
-        wd = jnp.maximum(w[:, v], near_lim)  # masked-out lanes stay finite
-        cand_x.append(sx_h[:, v] / wd)
-        cand_y.append(sy_h[:, v] / wd)
-        cand_ok.append(w[:, v] >= near_lim)
-    inv_near = 1.0 / near_lim
-    for i, j in ((0, 1), (1, 2), (2, 0)):
-        denom = w[:, j] - w[:, i]
-        t = (near_lim - w[:, i]) / jnp.where(
-            jnp.abs(denom) > 1e-12, denom, 1.0)
-        crossing = ((w[:, i] - near_lim) * (w[:, j] - near_lim) < 0.0) & (
-            jnp.abs(denom) > 1e-12)
-        cand_x.append((sx_h[:, i] + t * (sx_h[:, j] - sx_h[:, i])) * inv_near)
-        cand_y.append((sy_h[:, i] + t * (sy_h[:, j] - sy_h[:, i])) * inv_near)
-        cand_ok.append(crossing)
-    cx = jnp.stack(cand_x, axis=1)
-    cy = jnp.stack(cand_y, axis=1)
-    cok = jnp.stack(cand_ok, axis=1)
-    xmin = jnp.min(jnp.where(cok, cx, big), axis=1)
-    xmax = jnp.max(jnp.where(cok, cx, -big), axis=1)
-    ymin = jnp.min(jnp.where(cok, cy, big), axis=1)
-    ymax = jnp.max(jnp.where(cok, cy, -big), axis=1)
+    if near_w <= 0.0:
+        # clamp w to tiny-positive: a behind-eye vertex (perspective caller
+        # with clipping off) blows its coordinate up to +-1e12 and the
+        # clipped bbox degrades to conservative full-screen, never flips
+        wd = jnp.maximum(w, 1e-9)
+        xs = sx_h / wd
+        ys = sy_h / wd
+        xmin = jnp.min(xs, axis=1)
+        xmax = jnp.max(xs, axis=1)
+        ymin = jnp.min(ys, axis=1)
+        ymax = jnp.max(ys, axis=1)
+    else:
+        big = jnp.float32(1e9)
+        cand_x, cand_y, cand_ok = [], [], []
+        for v in range(3):
+            wd = jnp.maximum(w[:, v], near_lim)  # masked lanes stay finite
+            cand_x.append(sx_h[:, v] / wd)
+            cand_y.append(sy_h[:, v] / wd)
+            cand_ok.append(w[:, v] >= near_lim)
+        inv_near = 1.0 / near_lim
+        for i, j in ((0, 1), (1, 2), (2, 0)):
+            denom = w[:, j] - w[:, i]
+            t = (near_lim - w[:, i]) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1.0)
+            crossing = ((w[:, i] - near_lim) * (w[:, j] - near_lim)
+                        < 0.0) & (jnp.abs(denom) > 1e-12)
+            cand_x.append((sx_h[:, i] + t * (sx_h[:, j] - sx_h[:, i]))
+                          * inv_near)
+            cand_y.append((sy_h[:, i] + t * (sy_h[:, j] - sy_h[:, i]))
+                          * inv_near)
+            cand_ok.append(crossing)
+        cx = jnp.stack(cand_x, axis=1)
+        cy = jnp.stack(cand_y, axis=1)
+        cok = jnp.stack(cand_ok, axis=1)
+        xmin = jnp.min(jnp.where(cok, cx, big), axis=1)
+        xmax = jnp.max(jnp.where(cok, cx, -big), axis=1)
+        ymin = jnp.min(jnp.where(cok, cy, big), axis=1)
+        ymax = jnp.max(jnp.where(cok, cy, -big), axis=1)
     tx0 = jnp.clip(jnp.floor(xmin / TILE_W), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(xmax / TILE_W), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(ymin / TILE_H), 0, nty - 1).astype(jnp.int32)
@@ -264,13 +291,6 @@ def geometry_setup(
 
     # perspective-correct attribute planes: homogeneous plane() takes RAW
     # per-vertex q and yields the screen-affine q/w function directly
-    prev_flat = flat if prev_corners is None else prev_corners.reshape(-1, 3)
-    prev_clip = _dot(prev_flat, prev_view_proj[:3, :3].T) \
-        + prev_view_proj[:3, 3]
-    prev_w = _dot(prev_flat, prev_view_proj[3, :3]) + prev_view_proj[3, 3]
-    prev_clip = prev_clip.reshape(t_count, 3, 3)
-    prev_w = prev_w.reshape(t_count, 3)
-
     rows = []
 
     def add_plane(q_corners):  # q_corners (T, 3)
@@ -283,17 +303,38 @@ def geometry_setup(
         add_plane(corner_normals[..., comp])
     for comp in range(3):  # 18-26: tangent/w
         add_plane(corner_tangents[..., comp])
-    for comp in range(3):  # 27-35: bitangent/w
-        add_plane(corner_bitangents[..., comp])
-    add_plane(prev_clip[..., 0])  # 36-38: prev clip x / w
-    add_plane(prev_clip[..., 1])  # 39-41: prev clip y / w
-    add_plane(prev_w)  # 42-44: prev w / w
-    # 45-47: material id as a constant plane (a=b=0, c=id)
+    # 27-29: material id + tangent-frame handedness as a constant plane
+    # (a=b=0, c = mat * 2 + (handedness < 0)); the kernel emits it packed
+    # and the consumer reconstructs B = handedness * cross(N, T)
+    n0 = corner_normals[:, 0]
+    t0 = corner_tangents[:, 0]
+    b0 = corner_bitangents[:, 0]
+    cross_nt = jnp.stack([
+        n0[:, 1] * t0[:, 2] - n0[:, 2] * t0[:, 1],
+        n0[:, 2] * t0[:, 0] - n0[:, 0] * t0[:, 2],
+        n0[:, 0] * t0[:, 1] - n0[:, 1] * t0[:, 0],
+    ], axis=1)
+    hand_neg = jnp.sum(cross_nt * b0, axis=1) < 0.0
     rows.append(jnp.zeros_like(det))
     rows.append(jnp.zeros_like(det))
-    rows.append(tri_material.astype(jnp.float32))
+    rows.append(tri_material.astype(jnp.float32) * 2.0
+                + hand_neg.astype(jnp.float32))
 
-    attrs = jnp.stack(rows, axis=0).astype(jnp.float32)  # (NATTR, T)
+    if prev_corners is not None:
+        # 30-38: previous-frame clip planes — dynamic scenes only (static
+        # motion vectors reproject the depth-derived world position instead)
+        prev_flat = prev_corners.reshape(-1, 3)
+        prev_clip = _dot(prev_flat, prev_view_proj[:3, :3].T) \
+            + prev_view_proj[:3, 3]
+        prev_w = _dot(prev_flat, prev_view_proj[3, :3]) \
+            + prev_view_proj[3, 3]
+        prev_clip = prev_clip.reshape(t_count, 3, 3)
+        prev_w = prev_w.reshape(t_count, 3)
+        add_plane(prev_clip[..., 0])
+        add_plane(prev_clip[..., 1])
+        add_plane(prev_w)
+
+    attrs = jnp.stack(rows, axis=0).astype(jnp.float32)  # (NATTR[_PREV], T)
     return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
                          valid=valid)
 
@@ -315,35 +356,33 @@ class PairLists:
 
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
-                pairs_per_tri: float = 4.0, n_views: int = 1,
-                k_direct: int = 4, mid_budget: int = 1024,
-                big_budget: int = 32) -> PairLists:
+                pairs_per_tri: float = 4.0, n_views: int = 1) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
-    EXACT per-triangle tile-coverage expansion, SCATTER-FREE: candidates
-    come from three static-slot buckets, so every per-candidate quantity is
-    pure iota arithmetic / broadcast (the previous scatter+cumsum
-    fill-forward paid ~9 ns per scatter update — 8 ms/frame across both
-    views at 75k triangles, and scaling linearly with T):
+    COMPACTION-FIRST emission: at real scene loads the live pair stream is
+    a tiny fraction of the triangle table (measured on the 292k-triangle
+    atrium at 1080p: 24.5k visible triangles / 57k pairs in the main view;
+    the per-triangle-slot scheme this replaces carried a 1.27M-slot static
+    stream — 95% sentinels — through the sort AND the setup gather).
 
-      - direct: every triangle owns k_direct slots; triangles whose tile
-        span fits emit their tiles here (the overwhelming majority at 1080p);
-      - mid: up to mid_budget triangles with span in (k_direct, 64],
-        selected by a stable boolean argsort, 64 slots each;
-      - big: up to big_budget triangles with span > 64, each with
-        tiles_per_view slots — enough for a full-grid bbox, so coverage is
-        always exact (these are the handful of floor/wall triangles).
+    Stages, all static-shaped:
+      1. classify each triangle by tile-span into a geometric ladder
+         (<=2, <=8, <=32, <=128, <=tiles_per_view slots);
+      2. ONE stable argsort over the packed class keys compacts live
+         triangles to the front, largest spans first;
+      3. each ladder class emits candidates from a PREFIX WINDOW of the
+         compacted order (big spans sort first, so each window is a
+         prefix; entries of other classes inside a window are masked).
+         Window sizes scale with the triangle count (headroom >= 4x the
+         measured distributions; overruns DROP triangles, counted in
+         `overflow`);
+      4. ONE packed-key lax.sort orders the combined stream by
+         (tile, tri).
 
-    The combined candidate keys go through ONE packed-key lax.sort (the TPU
-    radix sort) ordering the stream by (tile, tri). Per-tile segments are
-    NOT re-aligned: the raster kernels DMA from the group-aligned floor of
-    each segment start and mask the lead-in (the DMA engine requires
-    128-lane-aligned offsets; masking is free, re-gathering the stream into
-    aligned segments measured ~6 ms).
-
-    Bucket-budget overruns DROP whole triangles and are counted in
-    `overflow` for observability (pairs_per_tri is kept for API
-    compatibility; the stream size no longer depends on it).
+    Per-tile segments are NOT re-aligned: the raster kernels DMA from the
+    group-aligned floor of each segment start and mask the lead-in (the
+    DMA engine requires 128-lane-aligned offsets; masking is free,
+    re-gathering the stream into aligned segments measured ~6 ms).
 
     n_views > 1: the setup is a vertical ATLAS of n_views independent views
     (e.g. all shadow cascades in one raster pass, SURVEY 3.2 pass 8) — the
@@ -365,53 +404,74 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
     span = span_y * span_x
 
-    K_MID = 64
-    k_big = tiles_per_view
-    sentinel = jnp.int32(n_tiles * (tpv + 1))
-    tri_glob_all = jnp.arange(t_count, dtype=jnp.int32)
-    tri_local_all = tri_glob_all % tpv
+    # ladder: (span limit, slots per entry, window entries). Windows are
+    # prefixes of the class-sorted order; larger-span classes sort first,
+    # so each window must hold its own class count PLUS every larger class.
+    def win(frac, lo=256):
+        return max(lo, t_count // frac)
 
-    def emit_arrays(sy, sx, y0, x0, tri_local, active, k_slots):
-        """(M, k_slots) candidate keys; all inputs (M,)."""
-        sy = sy[:, None]
-        sx = sx[:, None]
+    ladder = [
+        (2, 2, win(3)),
+        (8, 8, win(24)),
+        (32, 32, win(144)),
+        (128, 128, win(576, 64)),
+    ]
+    if tiles_per_view > 128:
+        ladder.append((tiles_per_view, tiles_per_view, 16))
+
+    # class id: 0 = biggest spans ... len-1 = span<=2; invalid/empty last.
+    # Assign largest limit first so the TIGHTEST matching rung wins.
+    n_classes = len(ladder)
+    cls = jnp.full((t_count,), n_classes, jnp.int32)
+    for ci in range(n_classes - 1, -1, -1):
+        limit = ladder[ci][0]
+        cls = jnp.where((span > 0) & (span <= limit),
+                        n_classes - 1 - ci, cls)
+
+    # stable sort by class: one (key, iota) sort compacts live triangles
+    # to the front with the largest spans first, original order within
+    # class — yields both the sorted classes and the permutation
+    cls_sorted_marker, order = jax.lax.sort(
+        (cls, jnp.arange(t_count, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
+
+    # packed per-triangle geometry, gathered per window as ONE i32 value:
+    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b] (span_y <= 255 always:
+    # a view is at most 512 tile rows and windows cap slots anyway)
+    geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
+                   + jnp.minimum(span_y, 255))
+    sentinel = jnp.int32(n_tiles * (tpv + 1))
+
+    key_parts = []
+    for ci, (limit, k_slots, window) in enumerate(ladder):
+        window = min(window, t_count)
+        idx = order[:window]
+        g = geom_packed[idx]
+        want = cls_sorted_marker[:window] == (n_classes - 1 - ci)
+        sy = (g & 255)[:, None]
+        sx = ((g >> 8) & 127)[:, None]
+        x0 = ((g >> 15) & 127)[:, None]
+        y0 = (g >> 22)[:, None]
         k = jnp.arange(k_slots, dtype=jnp.int32)[None, :]
         sxc = jnp.maximum(sx, 1)
         dy = k // sxc
         dx = k - dy * sxc
-        ok = active[:, None] & (k < sy * sx)
-        tile = (y0[:, None] + dy) * n_tiles_x + x0[:, None] + dx
-        key = jnp.where(ok, tile * (tpv + 1) + tri_local[:, None], sentinel)
-        return key.reshape(-1)
+        ok = want[:, None] & (k < sy * sx)
+        tile = (y0 + dy) * n_tiles_x + x0 + dx
+        tri_local = (idx % tpv)[:, None]
+        key_parts.append(
+            jnp.where(ok, tile * (tpv + 1) + tri_local,
+                      sentinel).reshape(-1))
 
-    def emit(idx, active, k_slots):
-        return emit_arrays(span_y[idx], span_x[idx], ty0[idx], tx0[idx],
-                           tri_local_all[idx], active, k_slots)
-
-    direct_ok = (span > 0) & (span <= k_direct)
-    keys_a = emit_arrays(span_y, span_x, ty0, tx0, tri_local_all, direct_ok,
-                         k_direct)
-
-    mid_mask = span > k_direct
-    if k_big > K_MID:
-        mid_mask = mid_mask & (span <= K_MID)
-        big_mask = span > K_MID
-    else:
-        big_mask = jnp.zeros_like(mid_mask)
-    # stable argsort of (0 = wanted): bucket members first, original order
-    idx_mid = jnp.argsort(jnp.where(mid_mask, 0, 1).astype(jnp.int32),
-                          stable=True)[:mid_budget].astype(jnp.int32)
-    keys_b = emit(idx_mid, mid_mask[idx_mid], K_MID)
-    overflow = jnp.maximum(jnp.sum(mid_mask.astype(jnp.int32)) - mid_budget,
-                           0)
-    key_parts = [keys_a, keys_b]
-    if k_big > K_MID:
-        idx_big = jnp.argsort(jnp.where(big_mask, 0, 1).astype(jnp.int32),
-                              stable=True)[:big_budget].astype(jnp.int32)
-        keys_c = emit(idx_big, big_mask[idx_big], k_big)
+    # overflow: entries of class ci (plus all larger classes, which sit
+    # before it in the compacted order) beyond the window are dropped
+    counts = jnp.bincount(jnp.minimum(cls, n_classes), length=n_classes + 1)
+    cum = jnp.cumsum(counts)
+    overflow = jnp.int32(0)
+    for ci, (_, _, window) in enumerate(ladder):
+        window = min(window, t_count)
         overflow = overflow + jnp.maximum(
-            jnp.sum(big_mask.astype(jnp.int32)) - big_budget, 0)
-        key_parts.append(keys_c)
+            cum[n_classes - 1 - ci] - window, 0)
 
     key = jnp.concatenate(key_parts)
     p_max = key.shape[0]
@@ -476,11 +536,19 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     # ONE combined (T+1, n_rows+NATTR) row gather: XLA's TPU row gather
     # costs ~per-row, so gathering edges and attrs separately paid twice
     attrs_pad = jnp.concatenate(
-        [setup.attrs, jnp.zeros((NATTR, 1), jnp.float32)], axis=1)
+        [setup.attrs, jnp.zeros((setup.attrs.shape[0], 1), jnp.float32)],
+        axis=1)
     rows = jnp.concatenate([edges_rows, attrs_pad.T], axis=1)
     pair_rows = rows[pairs.pair_tri]  # (P, n_rows + NATTR)
     pair_edges = pair_rows[:, :n_rows].T  # (n_rows, P)
     pair_attrs = pair_rows[:, n_rows:].T  # (NATTR, P)
+    # Mosaic requires HBM slices sublane-aligned: pad rows to a multiple
+    # of 8 (30 -> 32 static, 39 -> 40 dynamic); the kernel's one-hot matmul
+    # and coeff evaluation only touch the logical rows
+    n_attr = pair_attrs.shape[0]
+    row_pad = (-n_attr) % 8
+    if row_pad:
+        pair_attrs = jnp.pad(pair_attrs, ((0, row_pad), (0, 0)))
     return pair_edges, pair_attrs
 
 
@@ -488,14 +556,13 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
 # raster kernels
 # --------------------------------------------------------------------------
 
-GBUF_CHANNELS = 18
+GBUF_CHANNELS = 13  # static scenes; +2 prev-NDC channels when dynamic
 _CH_U, _CH_V = 0, 1
 _CH_DUDX, _CH_DVDX, _CH_DUDY, _CH_DVDY = 2, 3, 4, 5
 _CH_N = 6  # 6-8 normal
 _CH_T = 9  # 9-11 tangent
-_CH_B = 12  # 12-14 bitangent
-_CH_PREV = 15  # 15-16 prev ndc xy
-_CH_MAT = 17
+_CH_MAT = 12  # packed material * 2 + (handedness < 0)
+_CH_PREV = 13  # 13-14 prev ndc xy (dynamic scenes only)
 
 def _pixel_basis(tile_y, tile_x):
     """(4, PX_PER_TILE) matrix [x; y; 1; 0] at pixel centers for this tile.
@@ -836,15 +903,15 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
 
     vec3(9, _CH_N, True)
     vec3(18, _CH_T, True)
-    vec3(27, _CH_B, True)
+    out2d(_CH_MAT, coeff_ref[29:30])
 
-    prev_x = ev(36) * w
-    prev_y = ev(39) * w
-    prev_w = ev(42) * w
-    inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
-    out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
-    out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
-    out2d(_CH_MAT, coeff_ref[47:48])
+    if coeff_ref.shape[0] >= NATTR_PREV:  # dynamic scene: prev-clip planes
+        prev_x = ev(30) * w
+        prev_y = ev(33) * w
+        prev_w = ev(36) * w
+        inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
+        out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
+        out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
 
 
 def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
@@ -864,22 +931,27 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
     """Main-view rasterization producing depth + visibility + G-buffer.
 
     G-buffer channels: uv (0-1), uv screen derivatives (2-5), world normal
-    (6-8), tangent (9-11), bitangent (12-14), previous-frame NDC xy (15-16),
-    material id (17) — the depthPrepass.frag outputs plus what triangle.vert
+    (6-8), tangent (9-11), packed material*2+handedness (12), and — only
+    for dynamic scenes (pair_attrs has NATTR_PREV rows) — previous-frame
+    NDC xy (13-14): the depthPrepass.frag outputs plus what triangle.vert
     would feed the forward pass, resolved visibility-buffer style.
+    Bitangent and static-scene motion are reconstructed downstream (see
+    the NATTR note at the top of this module).
     """
     alpha = alpha_masks is not None
     n_rows = pair_edges.shape[0]
     assert n_rows == (32 if alpha else 16), n_rows
+    n_attr = pair_attrs.shape[0]
+    n_chan = GBUF_CHANNELS + (2 if n_attr >= NATTR_PREV else 0)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch = [
         pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
-        pltpu.VMEM((NATTR, PX_PER_TILE), jnp.float32),
+        pltpu.VMEM((n_attr, PX_PER_TILE), jnp.float32),
         pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
-        pltpu.VMEM((NATTR, 128), jnp.float32),
+        pltpu.VMEM((n_attr, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA,
     ]
@@ -899,7 +971,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GBUF_CHANNELS, TILE_H, TILE_W),
+            pl.BlockSpec((n_chan, TILE_H, TILE_W),
                          lambda ty, tx, *_: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
@@ -913,7 +985,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
             jax.ShapeDtypeStruct((h, w), jnp.int32),
-            jax.ShapeDtypeStruct((GBUF_CHANNELS, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n_chan, h, w), jnp.float32),
         ],
         interpret=interpret,
     )(*inputs)

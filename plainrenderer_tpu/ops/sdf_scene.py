@@ -15,8 +15,13 @@ ONE world-space volume (plus a mean-albedo volume) at scene registration:
     (sdfCameraFrustumCulling/TileCulling.comp) become unnecessary: their
     entire job was bounding the per-pixel instance loop.
 
-Dynamic objects would recomposite their local region (cheap); static scenes
-composite once.
+Dynamic objects recomposite their local region per frame ON DEVICE
+(`recomposite_dynamic`): the pristine static volume stays brick-packed in
+HBM, and each dynamic instance gathers only its window's bricks, unpacks,
+min-composites its transformed local SDF, requantizes and scatters the
+bricks back — O(window) work inside the frame jit, traced model matrices,
+no recompile on movement (parity: SDFGI.cpp:260-313 re-uploads the
+SDFInstance buffer every frame). Static scenes composite once on the host.
 """
 
 from __future__ import annotations
@@ -153,15 +158,175 @@ def composite_global_sdf(
                      voxel_size=voxel_size)
 
 
+@dataclasses.dataclass
+class DynamicSDFSet:
+    """Per-dynamic-instance data for on-device recompositing."""
+    volumes: list  # K x (vd, vh, vw) f32 local SDFs (PADDED-box extent)
+    pad_min: np.ndarray  # (K, 3) padded local AABB min
+    pad_max: np.ndarray  # (K, 3)
+    albedo: np.ndarray  # (K, 3) mean albedo
+    object_index: np.ndarray  # (K,) index into scene.objects / transforms
+    window_vox: list  # K x (wd, wh, ww) static window size in voxels
+
+
+def _trilinear3d(vol, cz, cy, cx):
+    """Clamped trilinear sample of (vd, vh, vw) f32 at fractional voxel
+    coords (map_coordinates order=1 mode='nearest' semantics)."""
+    vd, vh, vw = vol.shape
+    cz = jnp.clip(cz, 0.0, vd - 1.0)
+    cy = jnp.clip(cy, 0.0, vh - 1.0)
+    cx = jnp.clip(cx, 0.0, vw - 1.0)
+    z0 = jnp.floor(cz).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    z1 = jnp.minimum(z0 + 1, vd - 1)
+    y1 = jnp.minimum(y0 + 1, vh - 1)
+    x1 = jnp.minimum(x0 + 1, vw - 1)
+    fz = cz - z0
+    fy = cy - y0
+    fx = cx - x0
+    c000 = vol[z0, y0, x0]
+    c001 = vol[z0, y0, x1]
+    c010 = vol[z0, y1, x0]
+    c011 = vol[z0, y1, x1]
+    c100 = vol[z1, y0, x0]
+    c101 = vol[z1, y0, x1]
+    c110 = vol[z1, y1, x0]
+    c111 = vol[z1, y1, x1]
+    c00 = c000 + (c001 - c000) * fx
+    c01 = c010 + (c011 - c010) * fx
+    c10 = c100 + (c101 - c100) * fx
+    c11 = c110 + (c111 - c110) * fx
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    return c0 + (c1 - c0) * fz
+
+
+@jax.named_scope("sdf.recomposite_dynamic")
+def recomposite_dynamic(packed_vol, packed_alb, origin, voxel_size: float,
+                        dims_zyx: tuple, dyn_vols: list, dyn_tokens: list,
+                        pad_min, pad_max, dyn_albedo, dyn_obj, transforms):
+    """Per-frame dynamic-instance update of the brick-packed global SDF.
+
+    packed_vol (NB, 8, 128) i32 / packed_alb (NB, 32, 128) i32: the PRISTINE
+    static composite in ops/sdfgi's brick format. For each dynamic instance
+    k a brick-aligned window of static shape dyn_tokens[k].shape[:3] is
+    gathered, unpacked to world distances, min-composited against the
+    instance's local SDF sampled through the TRACED model matrix
+    transforms[dyn_obj[k]], requantized and scattered back. Purely
+    functional: the pristine arrays are never modified, so there is no
+    cross-frame erase bookkeeping (parity: SDFGI.cpp:260-313 re-uploading
+    the SDFInstance buffer; here the instance -> global composite moves
+    on-device instead).
+
+    Returns (packed_vol', packed_alb').
+    """
+    from . import sdfgi as _gi
+
+    d, h, w = dims_zyx
+    bk = _gi.BRICK
+    nbz, nby, nbx = d // bk, h // bk, w // bk
+    sscale = _gi._SDF_SCALE
+
+    for k, vol_l in enumerate(dyn_vols):
+        vd, vh, vw = vol_l.shape
+        wd, wh, ww = dyn_tokens[k].shape[:3]
+        nwz, nwy, nwx = wd // bk, wh // bk, ww // bk
+        m = transforms[dyn_obj[k]]
+        inv = jnp.linalg.inv(m)
+        scale = jnp.cbrt(jnp.abs(jnp.linalg.det(m[:3, :3])))
+        pmin = pad_min[k]
+        pmax = pad_max[k]
+        ctr = (pmin + pmax) * 0.5
+        wc = m[:3, :3] @ ctr + m[:3, 3]
+
+        # brick-aligned window start (xyz voxel units), clipped inside
+        start_f = (wc - origin) / voxel_size \
+            - jnp.asarray([ww, wh, wd], jnp.float32) * 0.5
+        sb = jnp.floor(start_f / bk).astype(jnp.int32)
+        sb = jnp.clip(sb, 0, jnp.asarray([nbx - nwx, nby - nwy, nbz - nwz]))
+        sv = (sb * bk).astype(jnp.float32)
+
+        iz = jax.lax.broadcasted_iota(jnp.float32, (wd, wh, ww), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (wd, wh, ww), 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (wd, wh, ww), 2)
+        wx = origin[0] + (sv[0] + ix + 0.5) * voxel_size
+        wy = origin[1] + (sv[1] + iy + 0.5) * voxel_size
+        wz = origin[2] + (sv[2] + iz + 0.5) * voxel_size
+        lx = inv[0, 0] * wx + inv[0, 1] * wy + inv[0, 2] * wz + inv[0, 3]
+        ly = inv[1, 0] * wx + inv[1, 1] * wy + inv[1, 2] * wz + inv[1, 3]
+        lz = inv[2, 0] * wx + inv[2, 1] * wy + inv[2, 2] * wz + inv[2, 3]
+        ext = pmax - pmin
+        sampled = _trilinear3d(
+            vol_l,
+            (lz - pmin[2]) / ext[2] * vd - 0.5,
+            (ly - pmin[1]) / ext[1] * vh - 0.5,
+            (lx - pmin[0]) / ext[0] * vw - 0.5)
+        qx = jnp.maximum(jnp.maximum(pmin[0] - lx, lx - pmax[0]), 0.0)
+        qy = jnp.maximum(jnp.maximum(pmin[1] - ly, ly - pmax[1]), 0.0)
+        qz = jnp.maximum(jnp.maximum(pmin[2] - lz, lz - pmax[2]), 0.0)
+        outside = jnp.sqrt(qx * qx + qy * qy + qz * qz)
+        cand = (sampled + outside) * scale  # world-unit distance
+
+        # gather the window's bricks
+        bz = jax.lax.broadcasted_iota(jnp.int32, (nwz, nwy, nwx), 0)
+        by = jax.lax.broadcasted_iota(jnp.int32, (nwz, nwy, nwx), 1)
+        bx = jax.lax.broadcasted_iota(jnp.int32, (nwz, nwy, nwx), 2)
+        bid = (((sb[2] + bz) * nby + sb[1] + by) * nbx
+               + sb[0] + bx).reshape(-1)  # (KB,)
+
+        # --- distance volume ---
+        words = packed_vol[bid]  # (KB, 8, 128)
+        wspl = words.reshape(-1, bk, bk, bk // 4)  # [lz, ly, wx]
+        vox8 = jnp.stack([(wspl >> (8 * b)) & 0xFF for b in range(4)],
+                         axis=-1).reshape(-1, bk, bk, bk)
+        sgn = jnp.where(vox8 > 127, vox8 - 256, vox8).astype(jnp.float32)
+        bg = (sgn / sscale * voxel_size).reshape(nwz, nwy, nwx, bk, bk, bk)
+        bg = bg.transpose(0, 3, 1, 4, 2, 5).reshape(wd, wh, ww)
+
+        closer = cand < bg
+        new = jnp.minimum(bg, cand)
+        q = jnp.clip(jnp.round(new / voxel_size * sscale), -127, 127)
+        q = q.astype(jnp.int32) & 0xFF
+        qb = q.reshape(nwz, bk, nwy, bk, nwx, bk // 4, 4)
+        qb = qb.transpose(0, 2, 4, 1, 3, 5, 6)
+        nwords = (qb[..., 0] | (qb[..., 1] << 8) | (qb[..., 2] << 16)
+                  | (qb[..., 3] << 24))
+        packed_vol = packed_vol.at[bid].set(
+            nwords.reshape(-1, bk * bk * (bk // 4)).reshape(-1, 8, 128))
+
+        # --- albedo volume (winner-takes on `closer`) ---
+        awords = packed_alb[bid]  # (KB, 32, 128)
+        av = awords.reshape(-1, bk, bk, bk)  # [lz, ly, lx] one word/voxel
+        av = av.reshape(nwz, nwy, nwx, bk, bk, bk)
+        av = av.transpose(0, 3, 1, 4, 2, 5).reshape(wd, wh, ww)
+        alb = dyn_albedo[k]
+        aq = jnp.clip(jnp.round(alb * 255.0), 0, 255).astype(jnp.int32)
+        aword = aq[0] | (aq[1] << 8) | (aq[2] << 16)
+        anew = jnp.where(closer, aword, av)
+        ab = anew.reshape(nwz, bk, nwy, bk, nwx, bk)
+        ab = ab.transpose(0, 2, 4, 1, 3, 5)
+        packed_alb = packed_alb.at[bid].set(
+            ab.reshape(-1, bk * bk * bk).reshape(-1, 32, 128))
+
+    return packed_vol, packed_alb
+
+
 def build_scene_sdf(render_scene, scene, voxel_size: float = VOXEL_SIZE,
                     use_jax_bake: bool = False,
-                    bake_resolution_cap: int | None = None) -> GlobalSDF:
+                    bake_resolution_cap: int | None = None,
+                    dynamic_objects: tuple = ()) -> GlobalSDF:
     """Bake per-object SDFs (assets.sdf_bake) and composite them.
 
     render_scene: scenebuild.RenderScene; scene: the source Scene/SceneBinary
     (for mesh geometry). Objects whose mesh has an empty SDF path are skipped
     (the noSDF tag, ModelImport.cpp:237-253).
-    """
+
+    dynamic_objects: object indices EXCLUDED from the static composite;
+    when non-empty, returns (GlobalSDF, DynamicSDFSet) — feed the set to
+    render/frame.attach_dynamic_sdf and pass per-frame model matrices via
+    scene['object_transforms'] (SDFGI.cpp:260-313 per-frame instance
+    updates)."""
     from ..assets.sdf_bake import bake_mesh_sdf, sdf_resolution_for_aabb
     from ..render.scenebuild import _mesh_arrays
 
@@ -195,6 +360,43 @@ def build_scene_sdf(render_scene, scene, voxel_size: float = VOXEL_SIZE,
         mats.append(np.asarray(obj.model_matrix, np.float32))
         albedos.append(np.asarray(mesh.mean_albedo, np.float32))
 
-    return composite_global_sdf(
-        volumes, np.stack(bb_mins), np.stack(bb_maxs), np.stack(mats),
+    dyn = set(int(i) for i in dynamic_objects)
+    static_volumes = [None if o in dyn else v for o, v in enumerate(volumes)]
+    gsdf = composite_global_sdf(
+        static_volumes, np.stack(bb_mins), np.stack(bb_maxs), np.stack(mats),
         np.stack(albedos), voxel_size=voxel_size)
+    if not dyn:
+        return gsdf
+
+    from ..scene.aabb import pad_sdf_bounding_box as _pad_bb
+
+    d_vols, d_pmin, d_pmax, d_alb, d_obj, d_win = [], [], [], [], [], []
+    safety = 2.0  # same conservative-bound ring as the static composite
+    for o in sorted(dyn):
+        if volumes[o] is None:
+            continue  # noSDF meshes contribute nothing when moved, either
+        pmin, pmax = _pad_bb(jnp.asarray(bb_mins[o]), jnp.asarray(bb_maxs[o]))
+        pmin, pmax = np.asarray(pmin), np.asarray(pmax)
+        # static window: the rotated padded box always fits in its diagonal,
+        # so a diag + 2*safety cube of bricks covers every orientation
+        diag = float(np.linalg.norm(pmax - pmin))
+        scale = float(np.cbrt(abs(np.linalg.det(
+            np.asarray(mats[o])[:3, :3]))))
+        side = diag * max(scale, 1.0) + 2.0 * safety
+        nvox = int(np.ceil(side / gsdf.voxel_size)) + 16
+        nvox = (nvox + 15) // 16 * 16  # brick multiple
+        # never larger than the (brick-padded) global grid on any axis —
+        # an oversized window would make the brick-start clip range invalid
+        grid_pad = [max(32, (n + 15) // 16 * 16) for n in gsdf.volume.shape]
+        win = tuple(min(nvox, g) for g in grid_pad)  # (wd, wh, ww) zyx
+        d_vols.append(np.asarray(volumes[o], np.float32))
+        d_pmin.append(pmin)
+        d_pmax.append(pmax)
+        d_alb.append(albedos[o])
+        d_obj.append(o)
+        d_win.append(win)
+    dset = DynamicSDFSet(
+        volumes=d_vols, pad_min=np.stack(d_pmin), pad_max=np.stack(d_pmax),
+        albedo=np.stack(d_alb), object_index=np.asarray(d_obj, np.int32),
+        window_vox=d_win)
+    return gsdf, dset

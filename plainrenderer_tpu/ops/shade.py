@@ -39,6 +39,10 @@ class ShadingConfig:
     use_indirect_multiscatter: bool = True
     use_geometric_aa: bool = True
     indirect_lighting_tech: int = 0  # 0 SDF-traced, 1 constant ambient
+    # material texture filter: 0 bilinear within the tile mip, 1 per-pixel
+    # trilinear across two mips (analog of the reference's trilinear/aniso
+    # samplers, RenderFrontend.cpp:1300-1397; costs a 2nd window DMA+taps)
+    texture_filter: int = 0
 
 
 def reflected_energy_average(roughness):

@@ -440,8 +440,13 @@ def apply_sky(color, depth_valid, sky_lut, transmission_lut, view_dirs_full,
     resolution (sunSprite.frag parity).
     """
     _, h, w = color.shape
+    from ..utils.stencil import point_downsample
+
+    # point_downsample, not a strided slice: XLA canonicalizes fused strided
+    # slices into index-vector gathers inside the frame program
     dirs_coarse = jnp.moveaxis(
-        view_dirs_full[:, ::coarse_factor, ::coarse_factor], 0, -1)
+        point_downsample(view_dirs_full, coarse_factor, coarse_factor),
+        0, -1)
     uv = _to_sky_lut_uv(dirs_coarse)
     # wrap-pad the LUT in x so the gather-free bilinear handles the seam
     # wrapped width lw+1 makes u*(W-1) == u*lw: u=1 lands on the seam copy

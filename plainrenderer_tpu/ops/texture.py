@@ -51,8 +51,8 @@ def _sample_kernel(
     word0_ref,  # (NB, 8, 128) i32 HBM pool
     word1_ref,  # (NB, 8, 128) i32 HBM pool
     out_ref,  # (N_OUT, TILE_H, TILE_W)
-    win0, win1, sems,
-    *, n_mips: int, mip_bias: float,
+    win0, win1, sems, win0b=None, win1b=None, semsb=None,
+    *, n_mips: int, mip_bias: float, trilinear: bool = False,
 ):
     valid = valid_ref[...] > 0.0
     mat = mat_ref[...].astype(jnp.int32)
@@ -81,108 +81,127 @@ def _sample_kernel(
     lam = jnp.log2(jnp.maximum(mean_rho, 1e-6)) + mip_bias
     mip = jnp.clip(lam.astype(jnp.int32), 0, n_mips - 1)
 
-    row = (texc * n_mips + mip) * 4
-    base = info_ref[row]
-    nbx = info_ref[row + 1]
-    lw = info_ref[row + 2]
-    lh = info_ref[row + 3]
-    nby = (lh + 7) // 8
-
-    # wrap uv, texel coords at the chosen mip
     u = uv_ref[0]
     v = uv_ref[1]
-    uf = (u - jnp.floor(u)) * lw.astype(jnp.float32)
-    vf = (v - jnp.floor(v)) * lh.astype(jnp.float32)
-    mean_u = jnp.sum(jnp.where(sel, uf, 0.0)) / n_sel
-    mean_v = jnp.sum(jnp.where(sel, vf, 0.0)) / n_sel
-    bx0 = jnp.clip(mean_u.astype(jnp.int32) // 128 - (WIN_BX - 1) // 2,
-                   0, jnp.maximum(nbx - WIN_BX, 0))
-    by0 = jnp.clip((mean_v.astype(jnp.int32) - WIN_H // 2) // 8,
-                   0, jnp.maximum(nby - WIN_BY, 0))
 
-    # untextured / empty tiles skip the window fetch entirely (outputs are
-    # masked by the ok channel downstream)
-    @pl.when(textured)
-    def _():
-        dmas = []
-        for k, (dy_, dx_) in enumerate(
-                [(a, b) for a in range(WIN_BY) for b in range(WIN_BX)]):
-            by = jnp.clip(by0 + dy_, 0, jnp.maximum(nby - 1, 0))
-            bx = jnp.clip(bx0 + dx_, 0, jnp.maximum(nbx - 1, 0))
-            bidx = base + by * nbx + bx
-            dmas.append(pltpu.make_async_copy(
-                word0_ref.at[bidx], win0.at[pl.ds(k * 8, 8)], sems.at[k]))
-            dmas.append(pltpu.make_async_copy(
-                word1_ref.at[bidx], win1.at[pl.ds(k * 8, 8)],
-                sems.at[k + WIN_BY * WIN_BX]))
-        for d in dmas:
-            d.start()
-        for d in dmas:
-            d.wait()
+    def sample_mip(mip_l, win0_l, win1_l, sems_l, sem_off):
+        """DMA one (texture, mip) window + bilinear-tap it; returns the
+        8 taps' material values and the pixel in-window mask."""
+        row = (texc * n_mips + mip_l) * 4
+        base = info_ref[row]
+        nbx = info_ref[row + 1]
+        lw = info_ref[row + 2]
+        lh = info_ref[row + 3]
+        nby = (lh + 7) // 8
 
-    # window-local coords; bricks are laid out row-major (dy, dx) so texel
-    # (ty, tx) lives at flat row (dy*WIN_BX + dx)*8 + (ty & 7), lane tx & 127
-    tx = uf - (bx0 * 128).astype(jnp.float32)
-    ty = vf - (by0 * 8).astype(jnp.float32)
-    # clamp taps to the logical level (pool bricks are edge-padded)
-    in_window = (
-        (tx >= 0.5) & (tx <= WIN_W - 1.5) & (ty >= 0.5) & (ty <= WIN_H - 1.5)
-        & sel)
-    x0 = jnp.clip(jnp.floor(tx - 0.5), 0, WIN_W - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(ty - 0.5), 0, WIN_H - 2).astype(jnp.int32)
-    fx = jnp.clip(tx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
-    fy = jnp.clip(ty - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
+        # wrap uv, texel coords at the chosen mip
+        uf = (u - jnp.floor(u)) * lw.astype(jnp.float32)
+        vf = (v - jnp.floor(v)) * lh.astype(jnp.float32)
+        mean_u = jnp.sum(jnp.where(sel, uf, 0.0)) / n_sel
+        mean_v = jnp.sum(jnp.where(sel, vf, 0.0)) / n_sel
+        bx0 = jnp.clip(mean_u.astype(jnp.int32) // 128 - (WIN_BX - 1) // 2,
+                       0, jnp.maximum(nbx - WIN_BX, 0))
+        by0 = jnp.clip((mean_v.astype(jnp.int32) - WIN_H // 2) // 8,
+                       0, jnp.maximum(nby - WIN_BY, 0))
 
-    t0 = win0[...]
-    t1 = win1[...]
+        # untextured / empty tiles skip the window fetch entirely (outputs
+        # are masked by the ok channel downstream)
+        @pl.when(textured)
+        def _():
+            dmas = []
+            for k, (dy_, dx_) in enumerate(
+                    [(a, b) for a in range(WIN_BY) for b in range(WIN_BX)]):
+                by = jnp.clip(by0 + dy_, 0, jnp.maximum(nby - 1, 0))
+                bx = jnp.clip(bx0 + dx_, 0, jnp.maximum(nbx - 1, 0))
+                bidx = base + by * nbx + bx
+                dmas.append(pltpu.make_async_copy(
+                    word0_ref.at[bidx], win0_l.at[pl.ds(k * 8, 8)],
+                    sems_l.at[sem_off + k]))
+                dmas.append(pltpu.make_async_copy(
+                    word1_ref.at[bidx], win1_l.at[pl.ds(k * 8, 8)],
+                    sems_l.at[sem_off + k + WIN_BY * WIN_BX]))
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
 
-    def flat_idx(xi, yi):
-        brick = (yi >> 3) * WIN_BX + (xi >> 7)
-        return (brick * 8 + (yi & 7)) * 128 + (xi & 127)
+        # window-local coords; bricks are laid out row-major (dy, dx) so
+        # texel (ty, tx) lives at flat row (dy*WIN_BX + dx)*8 + (ty & 7),
+        # lane tx & 127
+        tx = uf - (bx0 * 128).astype(jnp.float32)
+        ty = vf - (by0 * 8).astype(jnp.float32)
+        # clamp taps to the logical level (pool bricks are edge-padded)
+        in_win = ((tx >= 0.5) & (tx <= WIN_W - 1.5) & (ty >= 0.5)
+                  & (ty <= WIN_H - 1.5) & sel)
+        x0 = jnp.clip(jnp.floor(tx - 0.5), 0, WIN_W - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(ty - 0.5), 0, WIN_H - 2).astype(jnp.int32)
+        fx = jnp.clip(tx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(ty - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
-    def tap(xi, yi):
-        idx = flat_idx(xi, yi)
-        w0 = gatherlib.gather_rows_128(t0, idx)
-        w1 = gatherlib.gather_rows_128(t1, idx)
-        return w0, w1
+        t0 = win0_l[...]
+        t1 = win1_l[...]
 
-    w000, w100 = tap(x0, y0)
-    w001, w101 = tap(x0 + 1, y0)
-    w010, w110 = tap(x0, y0 + 1)
-    w011, w111 = tap(x0 + 1, y0 + 1)
-    b00 = (1 - fx) * (1 - fy)
-    b01 = fx * (1 - fy)
-    b10 = (1 - fx) * fy
-    b11 = fx * fy
+        def flat_idx(xi, yi):
+            brick = (yi >> 3) * WIN_BX + (xi >> 7)
+            return (brick * 8 + (yi & 7)) * 128 + (xi & 127)
 
-    def unpack8(w, shift):
-        return ((w >> shift) & 0xFF).astype(jnp.float32) / 255.0
+        def tap(xi, yi):
+            idx = flat_idx(xi, yi)
+            w0 = gatherlib.gather_rows_128(t0, idx)
+            w1 = gatherlib.gather_rows_128(t1, idx)
+            return w0, w1
 
-    def blend(f):
-        return (f(w000) * b00 + f(w001) * b01 + f(w010) * b10
-                + f(w011) * b11)
+        w000, w100 = tap(x0, y0)
+        w001, w101 = tap(x0 + 1, y0)
+        w010, w110 = tap(x0, y0 + 1)
+        w011, w111 = tap(x0 + 1, y0 + 1)
+        b00 = (1 - fx) * (1 - fy)
+        b01 = fx * (1 - fy)
+        b10 = (1 - fx) * fy
+        b11 = fx * fy
 
-    r = blend(lambda w: unpack8(w, 0))
-    g = blend(lambda w: unpack8(w, 8))
-    b = blend(lambda w: unpack8(w, 16))
-    alpha = blend(lambda w: unpack8(w, 24))
+        def unpack8(w, shift):
+            return ((w >> shift) & 0xFF).astype(jnp.float32) / 255.0
 
-    def blend1(f):
-        return (f(w100) * b00 + f(w101) * b01 + f(w110) * b10
-                + f(w111) * b11)
+        def blend(f):
+            return (f(w000) * b00 + f(w001) * b01 + f(w010) * b10
+                    + f(w011) * b11)
 
-    nx = blend1(lambda w: unpack8(w, 0)) * 2.0 - 1.0
-    ny = blend1(lambda w: unpack8(w, 8)) * 2.0 - 1.0
-    rough = blend1(lambda w: unpack8(w, 16))
-    metal = blend1(lambda w: unpack8(w, 24))
+        def blend1(f):
+            return (f(w100) * b00 + f(w101) * b01 + f(w110) * b10
+                    + f(w111) * b11)
+
+        vals = (
+            blend(lambda w: unpack8(w, 0)),
+            blend(lambda w: unpack8(w, 8)),
+            blend(lambda w: unpack8(w, 16)),
+            blend(lambda w: unpack8(w, 24)),
+            blend1(lambda w: unpack8(w, 0)),
+            blend1(lambda w: unpack8(w, 8)),
+            blend1(lambda w: unpack8(w, 16)),
+            blend1(lambda w: unpack8(w, 24)),
+        )
+        return vals, in_win
+
+    vals, in_window = sample_mip(mip, win0, win1, sems, 0)
+    if trilinear:
+        # per-pixel trilinear (RenderFrontend.cpp:1300-1397 sampler analog):
+        # a 2nd window at mip+1, lerped by the PER-PIXEL lod fraction
+        mip_hi = jnp.minimum(mip + 1, n_mips - 1)
+        vals_hi, in_win_hi = sample_mip(mip_hi, win0b, win1b, semsb, 0)
+        lam_px = jnp.log2(jnp.maximum(rho, 1e-6)) + mip_bias
+        t = jnp.clip(lam_px - mip.astype(jnp.float32), 0.0, 1.0)
+        vals = tuple(a + (b - a) * t for a, b in zip(vals, vals_hi))
+        in_window = in_window & in_win_hi
+    r, g, b, alpha, nx_, ny_, rough, metal = vals
 
     ok = in_window & textured
     out_ref[0] = r * r  # gamma-2.0 decode
     out_ref[1] = g * g
     out_ref[2] = b * b
     out_ref[3] = alpha
-    out_ref[4] = nx
-    out_ref[5] = ny
+    out_ref[4] = nx_ * 2.0 - 1.0
+    out_ref[5] = ny_ * 2.0 - 1.0
     out_ref[6] = rough
     out_ref[7] = metal
     out_ref[8] = ok.astype(jnp.float32)
@@ -191,17 +210,18 @@ def _sample_kernel(
 @jax.named_scope("texture.sample")
 def sample_materials(uv, duv, mat_id, valid, mat_tex, info, word0, word1,
                      *, n_mips: int, mip_bias: float = 0.0,
-                     interpret: bool = False):
+                     trilinear: bool = False, interpret: bool = False):
     """Sample per-pixel material values from the brick texture pool.
 
     uv (2, H, W); duv (4, H, W); mat_id (H, W) f32; valid (H, W) bool;
     mat_tex (M,) i32; info (n_tex*n_mips, 4) i32; word0/word1 (NB, 8, 128).
+    trilinear: per-pixel lod blend across two mip windows (2x DMA+taps).
     Returns (9, H, W): linear rgb, alpha, normal xy, rough, metal, ok.
     """
     _, h, w = uv.shape
     nty, ntx = h // TILE_H, w // TILE_W
     kernel = functools.partial(_sample_kernel, n_mips=n_mips,
-                               mip_bias=mip_bias)
+                               mip_bias=mip_bias, trilinear=trilinear)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
@@ -226,7 +246,11 @@ def sample_materials(uv, duv, mat_id, valid, mat_tex, info, word0, word1,
             pltpu.VMEM((WIN_BY * WIN_BX * 8, 128), jnp.int32),
             pltpu.VMEM((WIN_BY * WIN_BX * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2 * WIN_BY * WIN_BX,)),
-        ],
+        ] + ([
+            pltpu.VMEM((WIN_BY * WIN_BX * 8, 128), jnp.int32),
+            pltpu.VMEM((WIN_BY * WIN_BX * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * WIN_BY * WIN_BX,)),
+        ] if trilinear else []),
     )
     (out,) = pl.pallas_call(
         kernel,

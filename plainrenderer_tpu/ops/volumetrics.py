@@ -113,9 +113,21 @@ def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
     """
     wf, hf, d = res_xyz
     xs = (jnp.arange(wf, dtype=jnp.float32) + sample_offset) / wf * 2.0 - 1.0
-    ys = (jnp.arange(hf, dtype=jnp.float32) + sample_offset) / hf * 2.0 - 1.0
     if "ndc_y_scale" in cam:
-        ys = (ys - cam["ndc_y_offset"]) / cam["ndc_y_scale"]
+        # band mode: compute rows in GLOBAL froxel index space so band
+        # froxel centers are BIT-EXACT equal to the single-device ones.
+        # Algebraically `(ys_band - offset) / scale` is the same value, but
+        # its different float op order flips low bits — and the full-res
+        # density noise (material_volume) is effectively white at far
+        # slices, so 1-ulp world-pos differences became visible band seams.
+        nsc = cam["ndc_y_scale"]
+        band = jnp.round((-cam["ndc_y_offset"] / nsc + 1.0) * nsc * 0.5
+                         - 0.5)
+        g = band * hf + jnp.arange(hf, dtype=jnp.float32) + sample_offset
+        ys = g / (hf * nsc) * 2.0 - 1.0
+    else:
+        ys = (jnp.arange(hf, dtype=jnp.float32) + sample_offset) / hf \
+            * 2.0 - 1.0
     zs = (jnp.arange(d, dtype=jnp.float32) + sample_offset) / d
     depth = froxel_uv_to_depth(zs, max_distance)  # (D,)
 
@@ -133,22 +145,28 @@ def froxel_world_positions(res_xyz, cam, tan_fov_half, aspect, max_distance,
 
 
 @jax.named_scope("volumetrics.material")
-def material_volume(world_pos, settings, wind_offset, noise_stride: int = 2):
+def material_volume(world_pos, settings, wind_offset, noise_stride: int = 1):
     """froxelVolumeMaterial.comp — (4, D, Hf, Wf): scatter rgb + absorption.
 
-    The density noise is evaluated on a noise_stride-coarser grid and
-    trilinearly upsampled: the analytic gradient noise costs ~60 ALU ops
-    per point and its features span many froxels (worldPos*0.5), so the
-    coarse evaluation is visually identical at 1/8 the cost (the reference
-    samples a prebaked 3D texture, which is equally band-limited)."""
+    The density noise is evaluated ANALYTICALLY per froxel: the gradient
+    noise costs ~60 VPU ops/point — ~0.1 ms for the whole 2M-froxel grid,
+    pure elementwise planar ALU. The coarse-grid + trilinear-resize variant
+    (noise_stride > 1) looks cheaper but lowers to axis-contracting
+    dot_generals in TRANSPOSED layouts (minor dim = D = 64, half-empty
+    lanes, relayout copies on both sides) — measured 11.6 ms/frame at
+    1080p, ~6x the direct evaluation. (The reference samples a prebaked 3D
+    texture, froxelVolumeMaterial.comp; an analytic band-limited field is
+    the gather-free TPU equivalent.)"""
     s = noise_stride
     d, hf, wf = world_pos.shape[1:]
-    # depth-axis stride via reshape+contiguous-slice, screen axes via the
-    # conv-based point_downsample: inside the big frame program XLA
-    # canonicalizes strided slices into full index-vector gathers
-    # (~10 cycles/element; see utils/stencil.point_downsample)
-    wp_c = point_downsample(
-        world_pos.reshape(3, d // s, s, hf, wf)[:, :, 0], s, s)
+    if s > 1:
+        # depth-axis stride via reshape+contiguous-slice, screen axes via
+        # the conv-based point_downsample (strided slices canonicalize into
+        # index-vector gathers; see utils/stencil.point_downsample)
+        wp_c = point_downsample(
+            world_pos.reshape(3, d // s, s, hf, wf)[:, :, 0], s, s)
+    else:
+        wp_c = world_pos
     noise_c = analytic_perlin_3d_planar(
         wp_c[0] * 0.5 + wind_offset[0],
         wp_c[1] * 0.5 + wind_offset[1],
@@ -242,11 +260,27 @@ def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
     ], axis=-1)
     ok = jnp.all((uvw >= 0.0) & (uvw <= 1.0), axis=-1) & (w > 0)
 
-    # nearest-texel history fetch at coarse points (XLA gather, ~30k points)
-    hx = jnp.clip((uvw[:, 0] * wf).astype(jnp.int32), 0, wf - 1)
-    hy = jnp.clip((uvw[:, 1] * hf).astype(jnp.int32), 0, hf - 1)
-    hz = jnp.clip((uvw[:, 2] * d).astype(jnp.int32), 0, d - 1)
-    hist = history[:, hz, hy, hx]  # (4, N)
+    # TRILINEAR history fetch at coarse points (~30k points x 8 taps), as
+    # the reference's linear sampler (volumeLightingReprojection.comp).
+    # Nearest-texel was unstable here: coarse centers land EXACTLY on fine
+    # texel boundaries (u*wf == 4i+2), so band vs single-device float paths
+    # rounded to different texels and fog diverged at a few LSB per frame.
+    def axis_coords(c, n):
+        c = jnp.clip(c - 0.5, 0.0, n - 1.0)
+        i0 = jnp.floor(c).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, n - 1)
+        return i0, i1, c - i0
+
+    x0, x1, fx = axis_coords(uvw[:, 0] * wf, wf)
+    y0, y1, fy = axis_coords(uvw[:, 1] * hf, hf)
+    z0, z1, fz = axis_coords(uvw[:, 2] * d, d)
+    c00 = history[:, z0, y0, x0] * (1 - fx) + history[:, z0, y0, x1] * fx
+    c01 = history[:, z0, y1, x0] * (1 - fx) + history[:, z0, y1, x1] * fx
+    c10 = history[:, z1, y0, x0] * (1 - fx) + history[:, z1, y0, x1] * fx
+    c11 = history[:, z1, y1, x0] * (1 - fx) + history[:, z1, y1, x1] * fx
+    c0 = c00 + (c01 - c00) * fy
+    c1 = c10 + (c11 - c10) * fy
+    hist = c0 + (c1 - c0) * fz  # (4, N)
     hist = jnp.where(ok[None], hist, 0.0)
     alpha_c = jnp.where(ok, 0.95, 0.0).reshape(dc, hc, wc)
     hist_c = hist.reshape(4, dc, hc, wc)

@@ -238,6 +238,23 @@ def render_frame(
         obj_bb_max = scene["object_bb_max"]
         prev_g_corners = None
 
+    # --- dynamic SDF recomposite (SDFGI.cpp:260-313 per-frame instance
+    # buffer): moved instances min-composite into a working copy of the
+    # pristine brick-packed global SDF, window-local, on device ---
+    sdf_vol = scene.get("sdf_volume")
+    sdf_alb = scene.get("sdf_albedo")
+    if "object_transforms" in scene and "sdf_dyn_vols" in scene \
+            and sdf_vol is not None:
+        from ..ops import sdf_scene as sdf_scene_mod
+
+        sdf_vol, sdf_alb = sdf_scene_mod.recomposite_dynamic(
+            sdf_vol, sdf_alb, scene["sdf_origin"],
+            scene["sdf_voxel_size"], scene["sdf_shape"].shape[:3],
+            scene["sdf_dyn_vols"], scene["sdf_dyn_tokens"],
+            scene["sdf_dyn_pad_min"], scene["sdf_dyn_pad_max"],
+            scene["sdf_dyn_albedo"], scene["sdf_dyn_obj"],
+            scene["object_transforms"])
+
     # --- CPU frustum cull analog (RenderFrontend.cpp:565-587) ---
     from ..scene.frustum import expand_object_mask, visible_objects_clipspace
 
@@ -270,8 +287,34 @@ def render_frame(
     # --- shading inputs ---
     inv_vp = jnp.linalg.inv(view_proj)
     world_pos = shade.reconstruct_world_position(depth, inv_vp, pw, ph)
+    # unpack material id + tangent-frame handedness (raster packs
+    # mat * 2 + (handedness < 0) into one constant plane) and reconstruct
+    # the bitangent: B = handedness * cross(N, T) — the corner bitangent's
+    # only degree of freedom vs cross(N, T); halves the interpolated
+    # vec3 planes in the raster kernel
+    mat_packed = gbuf[raster._CH_MAT]
+    mat_id = jnp.floor(mat_packed * 0.5)
+    handedness = 1.0 - 2.0 * (mat_packed - 2.0 * mat_id)
+    geo_n = gbuf[raster._CH_N:raster._CH_N + 3]
+    geo_t = gbuf[raster._CH_T:raster._CH_T + 3]
+    geo_b = jnp.cross(geo_n, geo_t, axis=0) * handedness[None]
+    geo_b = geo_b * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(geo_b * geo_b, axis=0, keepdims=True), 1e-20))
+    # previous-frame NDC: interpolated planes for dynamic scenes; static
+    # scenes reproject the depth-derived world position (identical surface
+    # point through the previous view-projection — see raster.NATTR note)
+    if prev_g_corners is not None:
+        prev_ndc = gbuf[raster._CH_PREV:raster._CH_PREV + 2]
+    else:
+        pvp = state.prev_view_projection
+        pc = (pvp[:2, :3] @ world_pos.reshape(3, -1)
+              + pvp[:2, 3:4]).reshape(2, ph, pw)
+        pw_h = (pvp[3, :3] @ world_pos.reshape(3, -1)
+                + pvp[3, 3]).reshape(ph, pw)
+        prev_ndc = pc / jnp.where(jnp.abs(pw_h) > 1e-9, pw_h, 1.0)[None]
+        prev_ndc = jnp.where(valid[None], prev_ndc, 0.0)
     material = post.material_lookup(
-        scene["material_table"], gbuf[raster._CH_MAT], valid,
+        scene["material_table"], mat_id, valid,
         interpret=interpret)
     albedo = material[0:3]
     rough_metal = jnp.stack(
@@ -290,10 +333,12 @@ def render_frame(
         ts = texture_ops.sample_materials(
             gbuf[raster._CH_U:raster._CH_U + 2],
             gbuf[raster._CH_DUDX:raster._CH_DUDX + 4],
-            gbuf[raster._CH_MAT], valid,
+            mat_id, valid,
             scene["mat_tex"], scene["tex_info"],
             scene["tex_word0"], scene["tex_word1"],
-            n_mips=MAX_MIPS, mip_bias=bias, interpret=interpret)
+            n_mips=MAX_MIPS, mip_bias=bias,
+            trilinear=settings.shading.texture_filter >= 1,
+            interpret=interpret)
         tex_ok = ts[8] > 0.5
         albedo = jnp.where(tex_ok[None], ts[0:3], albedo)
         normal_ts = jnp.where(tex_ok[None], ts[4:6], normal_ts)
@@ -456,7 +501,7 @@ def render_frame(
         sky_lowres = jax.image.resize(sky_lut, (3, 32, 64), method="linear")
         y_sh, cocg = sdfgi.trace_gi(
             gi_wpos, gi_normal, gi_dirs, gi_valid, sky_lowres,
-            scene["sdf_volume"], scene["sdf_albedo"], scene["sdf_origin"],
+            sdf_vol, sdf_alb, scene["sdf_origin"],
             scene["sdf_voxel_size"], scene["sdf_dims"],
             sun_dir, sun_color, sun_strength_exposed,
             steps=settings.sdf_trace.trace_steps,
@@ -483,7 +528,7 @@ def render_frame(
             state.frame_index, 1.5, proj_scale / stride, seed=0)
 
         gi_motion = to_gi_res(motion_for_gi := taa_ops.compute_motion(
-            gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
+            prev_ndc, valid, jitter_ndc,
             state.prev_jitter, width, height))
         gi_motion_e = extend(gi_motion, halo_gi)
         hist_channels, hist_ok = taa_ops.resample_packed_planes(
@@ -521,9 +566,9 @@ def render_frame(
     hdr = shade.shade_forward(
         config=settings.shading,
         world_pos=world_pos,
-        geo_normal=gbuf[raster._CH_N:raster._CH_N + 3],
-        tangent=gbuf[raster._CH_T:raster._CH_T + 3],
-        bitangent=gbuf[raster._CH_B:raster._CH_B + 3],
+        geo_normal=geo_n,
+        tangent=geo_t,
+        bitangent=geo_b,
         valid=valid,
         albedo_srgb_linear=albedo,
         normal_ts=normal_ts,
@@ -633,7 +678,7 @@ def render_frame(
         want = 32 if settings.taa.use_separate_supersampling else 16
         halo_taa = min(want, ph) // raster.TILE_H * raster.TILE_H
         motion = taa_ops.compute_motion(
-            gbuf[raster._CH_PREV:raster._CH_PREV + 2], valid, jitter_ndc,
+            prev_ndc, valid, jitter_ndc,
             state.prev_jitter, width, height)
         hdr_e = extend(hdr, halo_taa)
         motion_e = extend(motion, halo_taa)
@@ -692,13 +737,25 @@ def render_frame(
             if axis_name is not None else 0)
     image = post.tonemap_pass(hdr, time, row_offset=row0)[:height, :width]
 
+    if settings.draw_bounding_boxes:
+        # debug AABB wireframes (debug.vert, RenderFrontend.cpp:947-956);
+        # band mode draws with the band's sub-frustum matrix, so each band
+        # scatters only its own rows
+        from ..ops import debugviz as debugviz_mod
+
+        image = debugviz_mod.aabb_line_overlay(
+            image, obj_bb_min, obj_bb_max, view_proj, width, height)
+
     if settings.sdf_debug.visualisation_mode != 0 and "sdf_volume" in scene:
         # sdfDebugVisualisation.comp — replaces the final image (the
         # reference writes the debug trace straight to the color target)
         from ..ops import debugviz
 
+        dbg_scene = dict(scene)
+        dbg_scene["sdf_volume"] = sdf_vol  # dynamic recomposite, if any
+        dbg_scene["sdf_albedo"] = sdf_alb
         dbg = debugviz.sdf_debug_image(
-            settings.sdf_debug.visualisation_mode, scene, cam, sky_lut,
+            settings.sdf_debug.visualisation_mode, dbg_scene, cam, sky_lut,
             luts["transmission"], sun_dir, sun_color, sun_strength_exposed,
             pw, ph, tan_fov_half, aspect)
         image = jnp.moveaxis(
@@ -795,6 +852,23 @@ def attach_global_sdf(scene_dict: dict, gsdf) -> dict:
     # zero-byte shape token: carries the volume dims STATICALLY (array
     # leaves are traced under jit; shapes are not) for the debug tracer
     scene_dict["sdf_shape"] = jnp.zeros(vol.shape + (0,), jnp.float32)
+    return scene_dict
+
+
+def attach_dynamic_sdf(scene_dict: dict, dyn) -> dict:
+    """Add per-dynamic-instance SDF data (ops/sdf_scene.DynamicSDFSet) so
+    render_frame recomposites moved instances into the global volume each
+    frame (requires 'object_transforms' in the scene dict)."""
+    scene_dict = dict(scene_dict)
+    scene_dict["sdf_dyn_vols"] = [jnp.asarray(v, jnp.float32)
+                                  for v in dyn.volumes]
+    # zero-byte tokens carrying each instance's STATIC window shape
+    scene_dict["sdf_dyn_tokens"] = [
+        jnp.zeros(tuple(wv) + (0,), jnp.float32) for wv in dyn.window_vox]
+    scene_dict["sdf_dyn_pad_min"] = jnp.asarray(dyn.pad_min, jnp.float32)
+    scene_dict["sdf_dyn_pad_max"] = jnp.asarray(dyn.pad_max, jnp.float32)
+    scene_dict["sdf_dyn_albedo"] = jnp.asarray(dyn.albedo, jnp.float32)
+    scene_dict["sdf_dyn_obj"] = jnp.asarray(dyn.object_index, jnp.int32)
     return scene_dict
 
 

@@ -122,6 +122,18 @@ class App:
         return image
 
 
+def _memory_stats_mb() -> float:
+    """Total MB of live device buffers (the allocator-stats analog of the
+    reference's memory panel, RenderFrontend.cpp:1990-2011)."""
+    import jax
+
+    try:
+        return sum(np.prod(b.shape) * b.dtype.itemsize
+                   for b in jax.live_arrays()) / 1e6
+    except Exception:
+        return 0.0
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("width", type=int, nargs="?", default=1280)
@@ -132,6 +144,13 @@ def main():
     ap.add_argument("--no-gi", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--orbit-speed", type=float, default=20.0)
+    ap.add_argument("--live", action="store_true",
+                    help="also write <out>/latest.png atomically each frame "
+                         "(poll it with any image viewer/browser for a live "
+                         "view — the swapchain-present analog)")
+    ap.add_argument("--no-overlay", action="store_true",
+                    help="disable the on-image stats burn-in")
+    ap.add_argument("--overlay-scale", type=int, default=2)
     args = ap.parse_args()
 
     if args.cpu:
@@ -151,12 +170,41 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     from ..assets.image_io import save_image
+    from .overlay import burn_stats
 
     inputs = InputState(right_mouse_down=True)
+    import time as _time
+
+    last_print = 0.0
+    fps_smooth = None
     for i in range(args.frames):
         inputs.mouse_movement = (args.orbit_speed * app.timer.delta_time, 0.0)
+        t0 = _time.perf_counter()
         image = app.run_frame(inputs)
-        save_image(out_dir / f"frame_{i:04d}.png", np.asarray(image))
+        image.block_until_ready()
+        frame_ms = (_time.perf_counter() - t0) * 1e3
+        fps = 1e3 / max(frame_ms, 1e-3)
+        fps_smooth = fps if fps_smooth is None else \
+            fps_smooth + (fps - fps_smooth) * 0.2
+        frame = np.asarray(image)
+        stats = [
+            f"{fps_smooth:6.1f} FPS  {frame_ms:7.2f} MS",
+            f"{app.settings.width}X{app.settings.height}"
+            f"  GI:{'ON' if app.settings.sdf_trace.enabled else 'OFF'}",
+            f"MEM {_memory_stats_mb():7.1f} MB  EXP"
+            f" {float(app.state.exposure):.5f}",
+        ]
+        if not args.no_overlay:
+            frame = burn_stats(frame, stats, scale=args.overlay_scale)
+        save_image(out_dir / f"frame_{i:04d}.png", frame)
+        if args.live:
+            tmp = out_dir / ".latest.tmp.png"
+            save_image(tmp, frame)
+            tmp.replace(out_dir / "latest.png")  # atomic present
+        now = _time.perf_counter()
+        if now - last_print > 0.2:  # the reference's 0.2 s stats cadence
+            print(" | ".join(stats), file=sys.stderr)
+            last_print = now
     print(f"wrote {args.frames} frames to {out_dir}", file=sys.stderr)
 
 

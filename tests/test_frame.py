@@ -209,3 +209,94 @@ def test_dynamic_moving_box_updates_image_and_shadow():
     diff = np.abs(img0.astype(np.int32) - img1.astype(np.int32)).max(-1)
     # the box moved: a meaningful pixel region changed
     assert (diff > 8).sum() > 50, (diff > 8).sum()
+
+
+def test_dynamic_sdf_recomposite_in_frame():
+    """The moving box updates the GLOBAL SDF on device: the lit-SDF debug
+    view (mode 1) images the recomposited volume, so the box must (a) appear
+    at its build pose exactly as a statically-composited volume would, and
+    (b) move when object_transforms moves it (SDFGI.cpp:260-313 analog)."""
+    from plainrenderer_tpu.config import SDFDebugSettings, SDFTraceSettings
+    from plainrenderer_tpu.ops import sdf_scene
+
+    settings = small_settings(
+        sdf_trace=SDFTraceSettings(enabled=False),
+        sdf_debug=SDFDebugSettings(visualisation_mode=1))
+    cfg = procedural.AtriumConfig(
+        columns_per_row=2, floor_subdiv=2, box_count=3, box_subdiv=1,
+        column_segments=8)
+    scene_data = procedural.build_atrium_scene(cfg, textured=False)
+    rs = scenebuild.build_render_scene(scene_data)
+    base = frame_mod.scene_to_device(rs)
+    luts = frame_mod.bake_static_luts(settings)
+    ext = cam.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
+                                    yaw_deg=20.0)
+    camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                     ext.up)
+    build_mats = np.asarray(jnp.linalg.inv(base["object_build_inv"]))
+
+    def render(scene):
+        st = initial_state(W, H)
+        img, st = frame_mod.render_frame(
+            st, scene, camera, luts, jnp.asarray(0.016), settings,
+            interpret=True)
+        return np.asarray(img).astype(np.int32)
+
+    # fully-static composite (the box baked in on the host)
+    g_all = sdf_scene.build_scene_sdf(rs, scene_data, bake_resolution_cap=16)
+    s_static = frame_mod.attach_global_sdf(dict(base), g_all)
+    img_static = render(s_static)
+
+    # dynamic path: pristine excludes object 2; device recomposites it
+    g_sta, dset = sdf_scene.build_scene_sdf(
+        rs, scene_data, bake_resolution_cap=16, dynamic_objects=(2,))
+    assert len(dset.volumes) == 1 and dset.object_index[0] == 2
+    s_dyn = frame_mod.attach_global_sdf(dict(base), g_sta)
+    s_dyn = frame_mod.attach_dynamic_sdf(s_dyn, dset)
+
+    def with_offset(dx):
+        mats = build_mats.copy()
+        mats[2][0, 3] += dx
+        s = dict(s_dyn)
+        s["object_transforms"] = jnp.asarray(mats)
+        s["prev_object_transforms"] = jnp.asarray(build_mats)
+        return render(s)
+
+    img0 = with_offset(0.0)
+    # (a) identity recomposite == host static composite (within the extra
+    # quantize->unpack->requantize round trip; a few LSB at edges)
+    diff_static = np.abs(img0 - img_static).max(-1)
+    assert (diff_static > 8).mean() < 0.01, (diff_static > 8).mean()
+
+    # (b) moving the box moves its SDF silhouette
+    img1 = with_offset(2.0)
+    diff_moved = np.abs(img1 - img0).max(-1)
+    assert (diff_moved > 8).sum() > 50, (diff_moved > 8).sum()
+
+
+def test_aabb_debug_overlay():
+    """draw_bounding_boxes burns yellow wireframes into the frame
+    (debug.vert + RenderFrontend.cpp:947-956 analog)."""
+    settings = small_settings()
+    dbg = dataclasses.replace(settings, draw_bounding_boxes=True)
+    scene = build_test_scene()
+    luts = frame_mod.bake_static_luts(settings)
+    ext = cam.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
+                                    yaw_deg=20.0)
+    camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                     ext.up)
+
+    def render(s):
+        st = initial_state(W, H)
+        img, st = frame_mod.render_frame(
+            st, scene, camera, luts, jnp.asarray(0.016), s, interpret=True)
+        return np.asarray(img).astype(np.int32)
+
+    base_img = render(settings)
+    over = render(dbg)
+    yellow = (over[..., 0] == 255) & (over[..., 1] == 255) \
+        & (over[..., 2] == 0)
+    assert yellow.sum() > 100, yellow.sum()
+    # off the lines, the image is untouched
+    same = over == base_img
+    assert same[~yellow].mean() > 0.999

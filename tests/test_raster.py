@@ -10,7 +10,7 @@ NTX, NTY = W // raster.TILE_W, H // raster.TILE_H
 
 
 def make_setup(tris_world, vp=None, prev_vp=None, cull="none", uvs=None,
-               alpha_slots=None):
+               alpha_slots=None, prev_corners=None):
     """tris_world: (T, 3, 3) world corners."""
     t = np.asarray(tris_world, np.float32)
     n = t.shape[0]
@@ -35,6 +35,8 @@ def make_setup(tris_world, vp=None, prev_vp=None, cull="none", uvs=None,
         jnp.asarray(vp), jnp.asarray(prev_vp), W, H, cull=cull,
         tri_alpha_slot=None if alpha_slots is None
         else jnp.asarray(alpha_slots, jnp.int32),
+        prev_corners=None if prev_corners is None
+        else jnp.asarray(prev_corners, jnp.float32),
     )
 
 
@@ -165,7 +167,8 @@ def test_perspective_camera_projection_end_to_end():
     vp = np.asarray(cam.view_projection(c))
     # triangle 10m in front of camera (camera looks -z)
     tri = [[-2.0, 1.0, -10.0], [2.0, 1.0, -10.0], [0.0, -2.0, -10.0]]
-    setup = make_setup([tri], vp=vp, prev_vp=vp)
+    # prev_corners turns on the dynamic-scene prev-NDC G-buffer channels
+    setup = make_setup([tri], vp=vp, prev_vp=vp, prev_corners=[tri])
     depth, ids, gbuf, _ = full_raster(setup)
     covered = ids >= 0
     assert covered.sum() > 50

@@ -207,3 +207,107 @@ def test_trace_window_border_no_phantom_hits():
     y_outside = run(9.0)[0]
     assert np.abs(y_outside.mean() - expected_sky) / expected_sky < 0.05, \
         y_outside.mean()
+
+
+def _unbrick_albedo(packed, dims):
+    """Invert pack_albedo_volume back to (D, H, W, 3) floats in [0,1]."""
+    d, h, w = dims
+    nbz, nby, nbx = d // 16, h // 16, w // 16
+    words = np.asarray(packed).reshape(nbz, nby, nbx, 16, 16, 16)
+    words = words.transpose(0, 3, 1, 4, 2, 5).reshape(d, h, w)
+    return np.stack([(words >> (8 * c)) & 0xFF for c in range(3)],
+                    -1).astype(np.float32) / 255.0
+
+
+def test_dynamic_recomposite_matches_host():
+    """Device brick recomposite == host composite at the moved pose.
+
+    Parity: SDFGI.cpp:260-313 (per-frame SDFInstance uploads) — here the
+    instance -> global min-composite happens on-device in the frame jit."""
+    import jax
+
+    from plainrenderer_tpu.scene.aabb import pad_sdf_bounding_box
+
+    voxel = 0.25
+    mesh_s = procedural.box_mesh(12.0, 1.0, 12.0)  # slab (floor)
+    mesh_d = procedural.box_mesh(2.0, 2.0, 2.0)
+    vol_s = bake_mesh_sdf(mesh_s.positions, mesh_s.indices,
+                          resolution=(24, 8, 24))
+    vol_d = bake_mesh_sdf(mesh_d.positions, mesh_d.indices,
+                          resolution=(16, 16, 16))
+    bb_min = np.asarray([[-6.0, -0.5, -6.0], [-1.0, -1.0, -1.0]], np.float32)
+    bb_max = np.asarray([[6.0, 0.5, 6.0], [1.0, 1.0, 1.0]], np.float32)
+    albedos = np.asarray([[0.5, 0.5, 0.5], [0.9, 0.1, 0.1]], np.float32)
+    c, s = np.cos(np.deg2rad(30.0)), np.sin(np.deg2rad(30.0))
+    # hovering above the slab (y-down world: -y is up), yawed 30 degrees
+    moved = np.asarray([
+        [c, 0, s, 2.0], [0, 1, 0, -2.5], [-s, 0, c, 1.0], [0, 0, 0, 1]],
+        np.float32)
+    mats_moved = np.stack([np.eye(4, dtype=np.float32), moved])
+
+    # host reference: both instances at the moved pose. The pristine pass
+    # uses the SAME matrices so both composites derive the same grid (the
+    # bounds loop reads every instance's bb, volume present or not).
+    g_ref = sdf_scene.composite_global_sdf(
+        [vol_s, vol_d], bb_min, bb_max, mats_moved, albedos,
+        voxel_size=voxel, margin=2.0)
+    # device path: static-only pristine + on-device dynamic window update
+    g_sta = sdf_scene.composite_global_sdf(
+        [vol_s, None], bb_min, bb_max, mats_moved, albedos,
+        voxel_size=voxel, margin=2.0)
+    assert g_ref.volume.shape == g_sta.volume.shape
+    np.testing.assert_allclose(g_ref.origin, g_sta.origin, atol=1e-5)
+
+    vol_p = _pad16(g_sta.volume, 1e4)
+    alb_p = _pad16(g_sta.albedo, 0.5)
+    packed = sdfgi.quantize_sdf_volume(jnp.asarray(vol_p), voxel)
+    apacked = sdfgi.pack_albedo_volume(jnp.asarray(alb_p))
+
+    pmin, pmax = pad_sdf_bounding_box(bb_min[1], bb_max[1])
+    diag = float(np.linalg.norm(np.asarray(pmax) - np.asarray(pmin)))
+    nvox = int(np.ceil((diag + 4.0) / voxel)) + 16
+    nvox = (nvox + 15) // 16 * 16
+    grid_pad = [max(32, (n + 15) // 16 * 16) for n in g_sta.volume.shape]
+    win = tuple(min(nvox, g) for g in grid_pad)
+    token = jnp.zeros(win + (0,), jnp.float32)
+
+    new_vol, new_alb = jax.jit(
+        lambda pv, pa, t: sdf_scene.recomposite_dynamic(
+            pv, pa, jnp.asarray(g_sta.origin), voxel, vol_p.shape,
+            [jnp.asarray(vol_d)], [token],
+            jnp.asarray(pmin)[None], jnp.asarray(pmax)[None],
+            jnp.asarray(albedos[1:2]), jnp.asarray([1], jnp.int32), t)
+    )(packed, apacked, jnp.asarray(mats_moved))
+
+    got = _unbrick_sdf(new_vol, vol_p.shape) * voxel
+    d, h, w = g_ref.volume.shape
+    want = np.clip(g_ref.volume, -127 / 8 * voxel, 127 / 8 * voxel)
+    inside = np.abs(want) < 3.0  # away from the s8 clamp boundary
+    err = np.abs(got[:d, :h, :w] - want)[inside]
+    assert err.max() < 2.5 * voxel / 8 + 1e-3, err.max()
+
+    # albedo winner: voxels the dynamic box clearly owns turn red
+    got_alb = _unbrick_albedo(new_alb, vol_p.shape)[:d, :h, :w]
+    owns = (g_ref.volume < g_sta.volume - 0.05) & (np.abs(want) < 1.0)
+    assert owns.sum() > 100
+    np.testing.assert_allclose(
+        got_alb[owns], np.broadcast_to(albedos[1], got_alb[owns].shape),
+        atol=2 / 255)
+
+    # moving the instance back to a far corner leaves the old region static
+    far = np.asarray(mats_moved).copy()
+    far[1][:3, 3] = [-4.0, 0.0, -4.0]
+    nv2, _ = jax.jit(
+        lambda pv, pa, t: sdf_scene.recomposite_dynamic(
+            pv, pa, jnp.asarray(g_sta.origin), voxel, vol_p.shape,
+            [jnp.asarray(vol_d)], [token],
+            jnp.asarray(pmin)[None], jnp.asarray(pmax)[None],
+            jnp.asarray(albedos[1:2]), jnp.asarray([1], jnp.int32), t)
+    )(packed, apacked, jnp.asarray(far))
+    got2 = _unbrick_sdf(nv2, vol_p.shape) * voxel
+    old_region = (g_ref.volume < g_sta.volume - 0.05)
+    sta_q = np.clip(g_sta.volume, -127 / 8 * voxel, 127 / 8 * voxel)
+    # the old position's voxels read pure static again
+    err_old = np.abs(got2[:d, :h, :w] - sta_q)[old_region
+                                               & (np.abs(sta_q) < 3.0)]
+    assert err_old.max() < 2.5 * voxel / 8 + 1e-3

@@ -118,3 +118,42 @@ def test_untextured_material_falls_back():
         jnp.asarray(pool.info), jnp.asarray(pool.word0),
         jnp.asarray(pool.word1), n_mips=pool.n_mips, interpret=True))
     assert (out[8] < 0.5).all()  # ok-mask off everywhere -> fallback
+
+
+def test_trilinear_blends_between_mips():
+    """texture_filter=1: per-pixel lod fraction lerps two mip windows
+    (RenderFrontend.cpp:1300-1397 trilinear sampler analog)."""
+    h, w = 16, 128
+    # mip 0 is a 1-texel checker: its 2x2 box mips average to flat 0.5,
+    # so the trilinear blend sits between sharp checker and flat gray
+    img = np.zeros((64, 256, 3), np.float32)
+    img[::2, ::2] = 1.0
+    img[1::2, 1::2] = 1.0
+    pool = _pool_one(img)
+    mat_tex = jnp.zeros((1,), jnp.int32)
+    uv = jnp.stack([
+        jnp.broadcast_to((jnp.arange(w) + 0.5) / w * 0.25, (h, w)),
+        jnp.broadcast_to(((jnp.arange(h) + 0.5) / h * 0.25)[:, None],
+                         (h, w))])
+
+    def run(rho_texels, trilinear):
+        duv = jnp.full((4, h, w), rho_texels / 256.0)
+        return np.asarray(tex_ops.sample_materials(
+            uv, duv, jnp.zeros((h, w)), jnp.ones((h, w), bool), mat_tex,
+            jnp.asarray(pool.info), jnp.asarray(pool.word0),
+            jnp.asarray(pool.word1), n_mips=pool.n_mips,
+            trilinear=trilinear, interpret=True))
+
+    # footprint exactly 1.414 texels -> lod 0.5: bilinear stays at sharp
+    # mip 0 (variance high); trilinear mixes in half of the flat mip 1
+    bi = run(2.0 ** 0.5, False)
+    tri = run(2.0 ** 0.5, True)
+    assert (tri[8] > 0.5).mean() > 0.9
+    var_bi = bi[0][bi[8] > 0.5].std()
+    var_tri = tri[0][tri[8] > 0.5].std()
+    assert var_tri < var_bi * 0.75, (var_bi, var_tri)
+    # at an integral lod (1 texel -> lod 0) both filters agree
+    bi0 = run(1.0, False)
+    tri0 = run(1.0, True)
+    m = (bi0[8] > 0.5) & (tri0[8] > 0.5)
+    np.testing.assert_allclose(tri0[0][m], bi0[0][m], atol=1e-3)
