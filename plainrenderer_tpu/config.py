@@ -49,6 +49,10 @@ class SDFTraceSettings:
     strict_influence_radius_cutoff: bool = False  # SDFGI.h:21
     influence_radius: float = 3.0
     trace_steps: int = 128  # reference trace loop length (SDF.inc:144)
+    # rays leaving the per-tile fine window continue in a 4x min-pooled
+    # whole-scene volume instead of falling through to sky (the rebuild's
+    # analog of the reference's full-volume trace, SDF.inc:103-185)
+    coarse_fallback: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,17 +110,20 @@ def _atan2_approx(y, x):
 
 
 def _trace_kernel(
-    meta_ref,  # (1, 8) f32: volume origin xyz, voxel_size, vol dims dhw
+    meta_ref,  # (1, 16) f32: origin xyz, voxel, dims dhw, fine influence,
+    #            coarse dims (8-10), full influence (11)
     wpos_ref, normal_ref, raydir_ref,  # (3, TILE_H, TILE_W)
     valid_ref,  # (TILE_H, TILE_W) f32 (>0 = surface)
     sky_ref,  # (3, SKY_H*SKY_W/128, 128) pre-flattened low-res sky (VMEM)
     sun_ref,  # (1, 8) f32: sun dir xyz, sun color rgb, strength, pad
     sdf_ref,  # brick-pooled global SDF (NB, 8, 128) int32 in HBM
     alb_ref,  # brick-pooled albedo (NB, 32, 128) int32 in HBM
-    out_ref,  # (6, TILE_H, TILE_W): Y_SH(4) + CoCg(2)
+    coarse_sdf_ref,  # (Rs, 128) i32 4x min-pooled whole-scene SDF (VMEM)
+    coarse_alb_ref,  # (Ra, 128) i32 4x mean albedo (VMEM)
+    out_ref,  # (7, TILE_H, TILE_W): Y_SH(4) + CoCg(2) + escaped(1)
     win_sdf, win_alb, sems,
     *, steps: int, influence: float, sky_h: int, sky_w: int,
-    strict: bool = False,
+    strict: bool = False, coarse: bool = False,
 ):
     ox = meta_ref[0, 0]
     oy = meta_ref[0, 1]
@@ -254,6 +257,12 @@ def _trace_kernel(
     hy = py + dy * t_hit
     hz = pz + dz * t_hit
 
+    # rays that ran out of the window-bounded fine influence without a hit:
+    # the window-approximation escapes (VERDICT r1 #8) — reported in
+    # out_ref[6] and, with the coarse fallback, marched on below
+    escaped_f = (valid & ~hit
+                 & (t >= influence_eff - voxel * 0.25)).astype(jnp.float32)
+
     # albedo at hit (packed rgb8)
     abrick, alx, aly, alz = window_coords(hx, hy, hz)
     aw = gatherlib.gather_rows_128(
@@ -281,6 +290,90 @@ def _trace_kernel(
         shadow_cond, shadow_body,
         (jnp.int32(0), jnp.full((TILE_H, TILE_W), voxel * 1.5),
          jnp.ones((TILE_H, TILE_W), jnp.float32)))
+
+    if coarse:
+        # --- coarse fallback march (the full-volume SDF.inc:103-185 trace,
+        # at 4x voxels): escaped rays continue in the whole-scene min-pooled
+        # volume up to the FULL influence radius ---
+        cd = meta_ref[0, 8].astype(jnp.int32)
+        chh = meta_ref[0, 9].astype(jnp.int32)
+        cww = meta_ref[0, 10].astype(jnp.int32)
+        influence_far = meta_ref[0, 11]
+        voxel_c = voxel * 4.0
+        coarse_table = coarse_sdf_ref[...]
+        coarse_alb_table = coarse_alb_ref[...]
+
+        def sample_coarse(px_, py_, pz_):
+            gx = jnp.clip((px_ - ox) / voxel_c, 0.0,
+                          cww.astype(jnp.float32) - 1.0)
+            gy = jnp.clip((py_ - oy) / voxel_c, 0.0,
+                          chh.astype(jnp.float32) - 1.0)
+            gz = jnp.clip((pz_ - oz) / voxel_c, 0.0,
+                          cd.astype(jnp.float32) - 1.0)
+            ix = gx.astype(jnp.int32)
+            iy = gy.astype(jnp.int32)
+            iz = gz.astype(jnp.int32)
+            widx = (iz * chh + iy) * (cww >> 2) + (ix >> 2)
+            word = gatherlib.gather_rows_128(coarse_table, widx)
+            b = ix & 3
+            v = jnp.where(
+                b == 0, _unpack_s8(word, 0),
+                jnp.where(b == 1, _unpack_s8(word, 1),
+                          jnp.where(b == 2, _unpack_s8(word, 2),
+                                    _unpack_s8(word, 3))))
+            return v * voxel_c, (iz * chh + iy) * cww + ix
+
+        thr_c = voxel_c * 0.6
+        esc_state0 = (jnp.int32(0), t, jnp.zeros_like(t), escaped_f)
+
+        def c_cond(state):
+            i, _, _, alive2 = state
+            return (i < 24) & (jnp.max(alive2) > 0.0)
+
+        def c_body(state):
+            i, t2, hitc, alive2 = state
+            dc, _ = sample_coarse(px + dx * t2, py + dy * t2, pz + dz * t2)
+            new_hit = (alive2 > 0.0) & (dc < thr_c)
+            hitc = jnp.maximum(hitc, new_hit.astype(jnp.float32))
+            alive = (alive2 > 0.0) & ~new_hit & (t2 < influence_far)
+            step = jnp.maximum(jnp.abs(dc) * 0.8, voxel_c * 0.5)
+            t2 = jnp.where(alive, t2 + step, t2)
+            return (i + 1, t2, hitc, alive.astype(jnp.float32))
+
+        _, t_c, hitc_f, _ = jax.lax.while_loop(c_cond, c_body, esc_state0)
+        hit_c = (hitc_f > 0.0) & ~hit
+        cx_ = px + dx * t_c
+        cy_ = py + dy * t_c
+        cz_ = pz + dz * t_c
+        _, c_aidx = sample_coarse(cx_, cy_, cz_)
+        caw = gatherlib.gather_rows_128(coarse_alb_table, c_aidx)
+        calb_r = ((caw >> 0) & 0xFF).astype(jnp.float32) / 255.0
+        calb_g = ((caw >> 8) & 0xFF).astype(jnp.float32) / 255.0
+        calb_b = ((caw >> 16) & 0xFF).astype(jnp.float32) / 255.0
+
+        def cs_cond(state):
+            i, _, _ = state
+            return (i < 6) & (jnp.max(hitc_f) > 0.0)
+
+        def cs_body(state):
+            i, st, litc = state
+            ds, _ = sample_coarse(cx_ + sdx * st, cy_ + sdy * st,
+                                  cz_ + sdz * st)
+            litc = jnp.where(ds < thr_c * 0.8, 0.0, litc)
+            return (i + 1, st + jnp.maximum(jnp.abs(ds), voxel_c), litc)
+
+        _, _, lit_c = jax.lax.while_loop(
+            cs_cond, cs_body,
+            (jnp.int32(0), jnp.full((TILE_H, TILE_W), voxel_c * 1.5),
+             jnp.ones((TILE_H, TILE_W), jnp.float32)))
+
+        # merge: coarse hits behave exactly like fine hits downstream
+        alb_r = jnp.where(hit_c, calb_r, alb_r)
+        alb_g = jnp.where(hit_c, calb_g, alb_g)
+        alb_b = jnp.where(hit_c, calb_b, alb_b)
+        lit = jnp.where(hit_c, lit_c, lit)
+        t_hit = jnp.where(hit_c, t_c, t_hit)
+        hit = hit | hit_c
 
     sun_r = sun_ref[0, 3] * sun_ref[0, 6]
     sun_g = sun_ref[0, 4] * sun_ref[0, 6]
@@ -340,6 +433,48 @@ def _trace_kernel(
     out_ref[3] = jnp.where(valid, y * sh3 * norm, 0.0)
     out_ref[4] = jnp.where(valid, co, 0.0)
     out_ref[5] = jnp.where(valid, cg, 0.0)
+    out_ref[6] = escaped_f
+
+
+COARSE = 4  # fine voxels per coarse-fallback voxel axis
+
+
+@jax.named_scope("sdfgi.coarse_volume")
+def build_coarse_tables(sdf_packed, albedo_packed, dims_zyx: tuple):
+    """4x min-pooled whole-scene SDF + mean albedo, lane-flattened for VMEM.
+
+    The per-tile 32^3 window bounds the fine trace; rays leaving it fell
+    straight through to the sky (VERDICT r1 #8: 'GI trace window can miss
+    geometry'). The fallback marches this coarse volume instead — whole
+    scene, resident in VMEM (s8-packed: a 320-voxel-cap scene is <= 512 KB
+    + 2 MB albedo). Distances are MIN-pooled so the coarse march never
+    oversteps geometry the fine grid knows about; derived per call from the
+    packed bricks (cheap dense XLA) so dynamic recomposites are included.
+    Returns (coarse_sdf (Rs, 128) i32, coarse_alb (Ra, 128) i32,
+    coarse_dims (cd, ch, cw))."""
+    d, h, w = dims_zyx
+    from . import debugviz
+
+    vol = debugviz.unpack_sdf_volume(sdf_packed, (d, h, w))  # voxel units
+    cd, ch, cw = d // COARSE, h // COARSE, w // COARSE
+    vol = vol.reshape(cd, COARSE, ch, COARSE, cw, COARSE)
+    coarse = vol.min(axis=(1, 3, 5))
+    q = jnp.clip(jnp.round(coarse / COARSE * _SDF_SCALE), -127, 127)
+    q = q.astype(jnp.int32) & 0xFF
+    q = q.reshape(cd, ch, cw // 4, 4)
+    words = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+             | (q[..., 3] << 24)).reshape(-1)
+    pad = (-words.shape[0]) % 128
+    sdf_flat = jnp.pad(words, (0, pad)).reshape(-1, 128)
+
+    alb = debugviz.unpack_albedo_volume(albedo_packed, (d, h, w))
+    alb = alb.reshape(3, cd, COARSE, ch, COARSE, cw, COARSE)
+    alb_c = alb.mean(axis=(2, 4, 6))
+    aq = jnp.clip(jnp.round(alb_c * 255.0), 0, 255).astype(jnp.int32)
+    awords = (aq[0] | (aq[1] << 8) | (aq[2] << 16)).reshape(-1)
+    pad_a = (-awords.shape[0]) % 128
+    alb_flat = jnp.pad(awords, (0, pad_a)).reshape(-1, 128)
+    return sdf_flat, alb_flat, (cd, ch, cw)
 
 
 @jax.named_scope("sdfgi.trace")
@@ -347,23 +482,40 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
              albedo_packed, volume_origin, voxel_size, volume_dims,
              sun_direction, sun_color, sun_strength, *,
              steps: int = 32, influence: float = 8.0,
-             strict: bool = False, interpret: bool = False):
+             strict: bool = False, dims_zyx: tuple | None = None,
+             coarse_fallback: bool = True, interpret: bool = False):
     """Trace one GI ray per pixel. All image inputs at trace resolution
-    (typically half-res). Returns (Y_SH (4,H,W), CoCg (2,H,W))."""
+    (typically half-res). Returns (Y_SH (4,H,W), CoCg (2,H,W),
+    escaped (H,W) f32 0/1 — rays that left the fine window; when
+    dims_zyx is given and coarse_fallback is on, those rays continued in
+    the 4x coarse whole-scene volume instead of falling through to sky)."""
     _, h, w = world_pos.shape
     nty, ntx = h // TILE_H, w // TILE_W
     sky_h, sky_w = sky_lowres.shape[1:]
+    use_coarse = coarse_fallback and dims_zyx is not None
 
-    meta = jnp.zeros((1, 8), jnp.float32)
+    meta = jnp.zeros((1, 16), jnp.float32)
     meta = meta.at[0, 0:3].set(volume_origin)
     meta = meta.at[0, 3].set(voxel_size)
     meta = meta.at[0, 4].set(volume_dims[0])
     meta = meta.at[0, 5].set(volume_dims[1])
     meta = meta.at[0, 6].set(volume_dims[2])
-    # effective influence: never past the brick window around the tile mean
+    # effective FINE influence: never past the brick window around the
+    # tile mean; the coarse fallback (slot 11) carries the full influence
     meta = meta.at[0, 7].set(jnp.minimum(
         jnp.asarray(influence, jnp.float32),
         (WINDOW // 2 - 2) * jnp.asarray(voxel_size, jnp.float32)))
+    meta = meta.at[0, 11].set(jnp.asarray(influence, jnp.float32))
+
+    if use_coarse:
+        coarse_sdf, coarse_alb, (cd, ch, cw) = build_coarse_tables(
+            sdf_packed, albedo_packed, dims_zyx)
+        meta = meta.at[0, 8].set(cd)
+        meta = meta.at[0, 9].set(ch)
+        meta = meta.at[0, 10].set(cw)
+    else:
+        coarse_sdf = jnp.zeros((1, 128), jnp.int32)
+        coarse_alb = jnp.zeros((1, 128), jnp.int32)
 
     sun = jnp.zeros((1, 8), jnp.float32)
     sun = sun.at[0, 0:3].set(sun_direction)
@@ -372,12 +524,12 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
 
     kernel = functools.partial(
         _trace_kernel, steps=steps, influence=influence,
-        sky_h=sky_h, sky_w=sky_w, strict=strict)
+        sky_h=sky_h, sky_w=sky_w, strict=strict, coarse=use_coarse)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda ty, tx: (0, 0),
+            pl.BlockSpec((1, 16), lambda ty, tx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
@@ -394,9 +546,14 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            # whole-scene coarse fallback tables, VMEM-resident
+            pl.BlockSpec(coarse_sdf.shape, lambda ty, tx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(coarse_alb.shape, lambda ty, tx: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((6, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
+            pl.BlockSpec((7, TILE_H, TILE_W), lambda ty, tx: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -408,12 +565,12 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((6, h, w), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((7, h, w), jnp.float32)],
         interpret=interpret,
     )(meta, world_pos, normal, ray_dirs, valid.astype(jnp.float32),
       sky_lowres.reshape(3, sky_h * sky_w // 128, 128), sun, sdf_packed,
-      albedo_packed)
-    return out[0:4], out[4:6]
+      albedo_packed, coarse_sdf, coarse_alb)
+    return out[0:4], out[4:6], out[6]
 
 
 # --------------------------------------------------------------------------

@@ -499,16 +499,19 @@ def render_frame(
         gi_dirs = jnp.moveaxis(dirs, -1, 0)
 
         sky_lowres = jax.image.resize(sky_lut, (3, 32, 64), method="linear")
-        y_sh, cocg = sdfgi.trace_gi(
+        y_sh, cocg, _gi_escaped = sdfgi.trace_gi(
             gi_wpos, gi_normal, gi_dirs, gi_valid, sky_lowres,
             sdf_vol, sdf_alb, scene["sdf_origin"],
             scene["sdf_voxel_size"], scene["sdf_dims"],
             sun_dir, sun_color, sun_strength_exposed,
             steps=settings.sdf_trace.trace_steps,
-            # the trace kernel clamps the influence to its window
-            # half-extent internally (escapes visible via sdf_debug mode 2)
+            # the fine trace clamps to its window half-extent internally;
+            # escaped rays continue in the 4x coarse whole-scene volume
+            # (settings.sdf_trace.coarse_fallback) up to this influence
             influence=settings.sdf_trace.influence_radius * 2.5,
             strict=settings.sdf_trace.strict_influence_radius_cutoff,
+            dims_zyx=scene["sdf_shape"].shape[:3],
+            coarse_fallback=settings.sdf_trace.coarse_fallback,
             interpret=interpret)
 
         # the GI filter chain (resolve -> spatial -> temporal -> spatial)
