@@ -40,8 +40,9 @@ class ShadingConfig:
     use_geometric_aa: bool = True
     indirect_lighting_tech: int = 0  # 0 SDF-traced, 1 constant ambient
     # material texture filter: 0 bilinear within the tile mip, 1 per-pixel
-    # trilinear across two mips (analog of the reference's trilinear/aniso
-    # samplers, RenderFrontend.cpp:1300-1397; costs a 2nd window DMA+taps)
+    # trilinear across two mips, 2 trilinear + 3-tap anisotropic (analog of
+    # the reference's trilinear/aniso samplers,
+    # RenderFrontend.cpp:1300-1397; each level costs extra window taps)
     texture_filter: int = 0
 
 

@@ -53,6 +53,7 @@ def _sample_kernel(
     out_ref,  # (N_OUT, TILE_H, TILE_W)
     win0, win1, sems, win0b=None, win1b=None, semsb=None,
     *, n_mips: int, mip_bias: float, trilinear: bool = False,
+    aniso: bool = False,
 ):
     valid = valid_ref[...] > 0.0
     mat = mat_ref[...].astype(jnp.int32)
@@ -74,9 +75,21 @@ def _sample_kernel(
     lh0 = info_ref[(texc * n_mips) * 4 + 3].astype(jnp.float32)
     sel = valid & (mat == dom)
     n_sel = jnp.maximum(jnp.sum(sel.astype(jnp.float32)), 1.0)
-    rho = jnp.maximum(
-        jnp.maximum(jnp.abs(duv_ref[0]) * lw0, jnp.abs(duv_ref[1]) * lh0),
-        jnp.maximum(jnp.abs(duv_ref[2]) * lw0, jnp.abs(duv_ref[3]) * lh0))
+    # footprint axes in mip-0 texel units: ex = d(uv)/dx, ey = d(uv)/dy
+    ex_len = jnp.sqrt((duv_ref[0] * lw0) ** 2 + (duv_ref[1] * lh0) ** 2)
+    ey_len = jnp.sqrt((duv_ref[2] * lw0) ** 2 + (duv_ref[3] * lh0) ** 2)
+    rho_maj = jnp.maximum(ex_len, ey_len)
+    if aniso:
+        # aniso: the mip follows the MINOR axis (sharper) and extra taps
+        # below cover the major axis (samplerAniso, max-aniso-8 analog of
+        # RenderFrontend.cpp:1300-1397); ratio capped at 3 taps
+        rho = jnp.maximum(jnp.minimum(ex_len, ey_len), rho_maj / 3.0)
+    else:
+        rho = jnp.maximum(
+            jnp.maximum(jnp.abs(duv_ref[0]) * lw0,
+                        jnp.abs(duv_ref[1]) * lh0),
+            jnp.maximum(jnp.abs(duv_ref[2]) * lw0,
+                        jnp.abs(duv_ref[3]) * lh0))
     mean_rho = jnp.sum(jnp.where(sel, rho, 0.0)) / n_sel
     lam = jnp.log2(jnp.maximum(mean_rho, 1e-6)) + mip_bias
     mip = jnp.clip(lam.astype(jnp.int32), 0, n_mips - 1)
@@ -130,13 +143,6 @@ def _sample_kernel(
         # lane tx & 127
         tx = uf - (bx0 * 128).astype(jnp.float32)
         ty = vf - (by0 * 8).astype(jnp.float32)
-        # clamp taps to the logical level (pool bricks are edge-padded)
-        in_win = ((tx >= 0.5) & (tx <= WIN_W - 1.5) & (ty >= 0.5)
-                  & (ty <= WIN_H - 1.5) & sel)
-        x0 = jnp.clip(jnp.floor(tx - 0.5), 0, WIN_W - 2).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor(ty - 0.5), 0, WIN_H - 2).astype(jnp.int32)
-        fx = jnp.clip(tx - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
-        fy = jnp.clip(ty - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
         t0 = win0_l[...]
         t1 = win1_l[...]
@@ -145,43 +151,72 @@ def _sample_kernel(
             brick = (yi >> 3) * WIN_BX + (xi >> 7)
             return (brick * 8 + (yi & 7)) * 128 + (xi & 127)
 
-        def tap(xi, yi):
-            idx = flat_idx(xi, yi)
-            w0 = gatherlib.gather_rows_128(t0, idx)
-            w1 = gatherlib.gather_rows_128(t1, idx)
-            return w0, w1
-
-        w000, w100 = tap(x0, y0)
-        w001, w101 = tap(x0 + 1, y0)
-        w010, w110 = tap(x0, y0 + 1)
-        w011, w111 = tap(x0 + 1, y0 + 1)
-        b00 = (1 - fx) * (1 - fy)
-        b01 = fx * (1 - fy)
-        b10 = (1 - fx) * fy
-        b11 = fx * fy
-
         def unpack8(w, shift):
             return ((w >> shift) & 0xFF).astype(jnp.float32) / 255.0
 
-        def blend(f):
-            return (f(w000) * b00 + f(w001) * b01 + f(w010) * b10
-                    + f(w011) * b11)
+        def bilinear_at(txo, tyo):
+            """One 4-tap bilinear fetch at window coords; returns the 8
+            unpacked material values and the in-window mask."""
+            in_w = ((txo >= 0.5) & (txo <= WIN_W - 1.5) & (tyo >= 0.5)
+                    & (tyo <= WIN_H - 1.5) & sel)
+            x0 = jnp.clip(jnp.floor(txo - 0.5), 0,
+                          WIN_W - 2).astype(jnp.int32)
+            y0 = jnp.clip(jnp.floor(tyo - 0.5), 0,
+                          WIN_H - 2).astype(jnp.int32)
+            fx = jnp.clip(txo - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
+            fy = jnp.clip(tyo - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
-        def blend1(f):
-            return (f(w100) * b00 + f(w101) * b01 + f(w110) * b10
-                    + f(w111) * b11)
+            def tap(xi, yi):
+                idx = flat_idx(xi, yi)
+                return (gatherlib.gather_rows_128(t0, idx),
+                        gatherlib.gather_rows_128(t1, idx))
 
-        vals = (
-            blend(lambda w: unpack8(w, 0)),
-            blend(lambda w: unpack8(w, 8)),
-            blend(lambda w: unpack8(w, 16)),
-            blend(lambda w: unpack8(w, 24)),
-            blend1(lambda w: unpack8(w, 0)),
-            blend1(lambda w: unpack8(w, 8)),
-            blend1(lambda w: unpack8(w, 16)),
-            blend1(lambda w: unpack8(w, 24)),
-        )
-        return vals, in_win
+            w000, w100 = tap(x0, y0)
+            w001, w101 = tap(x0 + 1, y0)
+            w010, w110 = tap(x0, y0 + 1)
+            w011, w111 = tap(x0 + 1, y0 + 1)
+            b00 = (1 - fx) * (1 - fy)
+            b01 = fx * (1 - fy)
+            b10 = (1 - fx) * fy
+            b11 = fx * fy
+
+            def blend(f):
+                return (f(w000) * b00 + f(w001) * b01 + f(w010) * b10
+                        + f(w011) * b11)
+
+            def blend1(f):
+                return (f(w100) * b00 + f(w101) * b01 + f(w110) * b10
+                        + f(w111) * b11)
+
+            return (
+                blend(lambda w: unpack8(w, 0)),
+                blend(lambda w: unpack8(w, 8)),
+                blend(lambda w: unpack8(w, 16)),
+                blend(lambda w: unpack8(w, 24)),
+                blend1(lambda w: unpack8(w, 0)),
+                blend1(lambda w: unpack8(w, 8)),
+                blend1(lambda w: unpack8(w, 16)),
+                blend1(lambda w: unpack8(w, 24)),
+            ), in_w
+
+        if not aniso:
+            return bilinear_at(tx, ty)
+        # anisotropic: 3 taps along the MAJOR footprint axis (in this
+        # level's texel units), averaging sharper-mip samples across the
+        # stretched footprint (samplerAniso analog)
+        scale_x = lw.astype(jnp.float32)
+        scale_y = lh.astype(jnp.float32)
+        use_ex = ex_len >= ey_len
+        mvx = jnp.where(use_ex, duv_ref[0], duv_ref[2]) * scale_x
+        mvy = jnp.where(use_ex, duv_ref[1], duv_ref[3]) * scale_y
+        acc = None
+        in_win = None
+        for off in (-1.0 / 3.0, 0.0, 1.0 / 3.0):
+            vals_o, in_o = bilinear_at(tx + mvx * off, ty + mvy * off)
+            acc = vals_o if acc is None else tuple(
+                a + v for a, v in zip(acc, vals_o))
+            in_win = in_o if in_win is None else (in_win & in_o)
+        return tuple(a * (1.0 / 3.0) for a in acc), in_win
 
     vals, in_window = sample_mip(mip, win0, win1, sems, 0)
     if trilinear:
@@ -210,18 +245,21 @@ def _sample_kernel(
 @jax.named_scope("texture.sample")
 def sample_materials(uv, duv, mat_id, valid, mat_tex, info, word0, word1,
                      *, n_mips: int, mip_bias: float = 0.0,
-                     trilinear: bool = False, interpret: bool = False):
+                     trilinear: bool = False, aniso: bool = False,
+                     interpret: bool = False):
     """Sample per-pixel material values from the brick texture pool.
 
     uv (2, H, W); duv (4, H, W); mat_id (H, W) f32; valid (H, W) bool;
     mat_tex (M,) i32; info (n_tex*n_mips, 4) i32; word0/word1 (NB, 8, 128).
     trilinear: per-pixel lod blend across two mip windows (2x DMA+taps).
+    aniso: sharper minor-axis mip + 3 taps along the major footprint axis.
     Returns (9, H, W): linear rgb, alpha, normal xy, rough, metal, ok.
     """
     _, h, w = uv.shape
     nty, ntx = h // TILE_H, w // TILE_W
     kernel = functools.partial(_sample_kernel, n_mips=n_mips,
-                               mip_bias=mip_bias, trilinear=trilinear)
+                               mip_bias=mip_bias, trilinear=trilinear,
+                               aniso=aniso)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),

@@ -338,6 +338,7 @@ def render_frame(
             scene["tex_word0"], scene["tex_word1"],
             n_mips=MAX_MIPS, mip_bias=bias,
             trilinear=settings.shading.texture_filter >= 1,
+            aniso=settings.shading.texture_filter >= 2,
             interpret=interpret)
         tex_ok = ts[8] > 0.5
         albedo = jnp.where(tex_ok[None], ts[0:3], albedo)

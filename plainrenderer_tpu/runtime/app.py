@@ -105,6 +105,49 @@ class App:
             volumes, np.stack(bb_mins), np.stack(bb_maxs), np.stack(mats),
             np.stack(albedos))
 
+    def set_settings(self, settings: RenderSettings):
+        """Swap render settings at runtime (the ImGui panel analog). The
+        first frame at a new settings hash pays an XLA compile unless it was
+        precompiled (precompile_variants) or sits in the persistent cache —
+        the staleness-flag analog of RenderFrontend.cpp:233-264."""
+        if (settings.width, settings.height) != (self.settings.width,
+                                                 self.settings.height):
+            self.state = initial_state(settings.width, settings.height)
+        self.settings = settings
+
+    def default_toggle_variants(self) -> list:
+        """The settings variants a user plausibly toggles at runtime."""
+        import dataclasses
+
+        s = self.settings
+        return [
+            dataclasses.replace(s, sdf_trace=dataclasses.replace(
+                s.sdf_trace, enabled=not s.sdf_trace.enabled)),
+            dataclasses.replace(s, volumetrics=dataclasses.replace(
+                s.volumetrics, enabled=not s.volumetrics.enabled)),
+            dataclasses.replace(s, taa=dataclasses.replace(
+                s.taa, enabled=not s.taa.enabled)),
+            dataclasses.replace(s, draw_bounding_boxes=True),
+        ]
+
+    def precompile_variants(self, variants=None):
+        """AOT-compile render_frame for alternate settings so runtime
+        toggles swap WITHOUT a compile stall (compilations also land in the
+        persistent cache). Lowering uses abstract values, so the donated
+        state buffers are not consumed."""
+        import jax.numpy as jnp
+
+        ext = self.camera.update(InputState(), 0.0)
+        cam = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                      ext.up)
+        for s in (variants or self.default_toggle_variants()):
+            frame_mod.render_frame.lower(
+                self.state, self.scene, cam, self.luts,
+                jnp.asarray(1 / 60, jnp.float32), s,
+                interpret=self.interpret).compile()
+            print(f"precompiled settings variant (hash {hash(s) & 0xffff})",
+                  file=sys.stderr)
+
     def run_frame(self, inputs: InputState | None = None):
         """One main-loop iteration (main.cpp:79-90). Returns the u8 frame."""
         import jax.numpy as jnp
@@ -151,6 +194,9 @@ def main():
     ap.add_argument("--no-overlay", action="store_true",
                     help="disable the on-image stats burn-in")
     ap.add_argument("--overlay-scale", type=int, default=2)
+    ap.add_argument("--precompile-toggles", action="store_true",
+                    help="AOT-compile common settings toggles up front so "
+                         "runtime changes don't stall on XLA compiles")
     args = ap.parse_args()
 
     if args.cpu:
@@ -166,6 +212,9 @@ def main():
     app.camera.position = np.asarray([-9.0, -1.8, 0.0], np.float32)
     app.camera.yaw = 10.0
     app.camera.pitch = 8.0
+
+    if args.precompile_toggles:
+        app.precompile_variants()
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -33,3 +33,48 @@ def test_shell_camera_and_timer():
     cam = CameraController()
     ext = cam.update(InputState(), 0.016)
     assert np.isfinite(ext.position).all()
+
+
+def test_app_toggle_and_precompile(tmp_path):
+    """App.set_settings swaps variants at runtime; precompile_variants
+    AOT-compiles them (the staleness-flag analog of
+    RenderFrontend.cpp:233-264)."""
+    import dataclasses
+
+    import jax
+
+    from plainrenderer_tpu.assets import plain_format, procedural
+    from plainrenderer_tpu.config import (RenderSettings, SDFTraceSettings,
+                                          ShadowSettings,
+                                          VolumetricsSettings)
+    from plainrenderer_tpu.runtime.app import App
+
+    mesh = procedural.box_mesh(4.0, 1.0, 4.0)
+    mesh.texture_paths = plain_format.TexturePaths(
+        albedo="", normal="", specular="", sdf="")
+    mesh.mean_albedo = (0.5, 0.5, 0.5)
+    scene = plain_format.Scene(
+        objects=[plain_format.ObjectBinary(
+            model_matrix=__import__("numpy").eye(4, dtype="float32"),
+            mesh_index=0)],
+        meshes=[mesh])
+    path = tmp_path / "tiny.plain"
+    plain_format.save_binary_scene(path, plain_format.scene_to_binary(scene))
+
+    settings = RenderSettings(
+        width=256, height=128,
+        sdf_trace=SDFTraceSettings(enabled=False),
+        volumetrics=VolumetricsSettings(enabled=False),
+        shadows=ShadowSettings(resolution=512))
+    app = App(settings, str(path), with_gi=False, interpret=True)
+    img0 = np.asarray(app.run_frame())
+    assert img0.shape == (128, 256, 3)
+
+    variant = dataclasses.replace(settings, draw_bounding_boxes=True)
+    app.precompile_variants([variant])  # AOT, no state consumed
+    app.set_settings(variant)
+    img1 = np.asarray(app.run_frame())
+    assert (img1 != img0).any()  # wireframes drawn
+    # and back without error
+    app.set_settings(settings)
+    app.run_frame()

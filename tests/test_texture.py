@@ -157,3 +157,39 @@ def test_trilinear_blends_between_mips():
     tri0 = run(1.0, True)
     m = (bi0[8] > 0.5) & (tri0[8] > 0.5)
     np.testing.assert_allclose(tri0[0][m], bi0[0][m], atol=1e-3)
+
+
+def test_aniso_sharper_than_isotropic_on_stretched_footprint():
+    """texture_filter=2: with a strongly anisotropic footprint (glancing
+    ground plane), the minor-axis mip keeps detail the isotropic max-axis
+    rule blurs away (samplerAniso analog, RenderFrontend.cpp:1300-1397)."""
+    h, w = 16, 128
+    # vertical stripes, 4 texels wide: visible at mip <= 1, gray at mip 3+
+    img = np.zeros((64, 256, 3), np.float32)
+    img[:, (np.arange(256) // 4) % 2 == 0] = 1.0
+    pool = _pool_one(img)
+    mat_tex = jnp.zeros((1,), jnp.int32)
+    uv = jnp.stack([
+        jnp.broadcast_to((jnp.arange(w) + 0.5) / w * 0.5, (h, w)),
+        jnp.broadcast_to(((jnp.arange(h) + 0.5) / h * 0.5)[:, None],
+                         (h, w))])
+    # footprint: 1 texel in x, 8 texels in y (dv/dy large) — glancing view
+    duv = jnp.stack([
+        jnp.full((h, w), 1.0 / 256.0), jnp.zeros((h, w)),
+        jnp.zeros((h, w)), jnp.full((h, w), 8.0 / 64.0)])
+
+    def run(aniso):
+        return np.asarray(tex_ops.sample_materials(
+            uv, duv, jnp.zeros((h, w)), jnp.ones((h, w), bool), mat_tex,
+            jnp.asarray(pool.info), jnp.asarray(pool.word0),
+            jnp.asarray(pool.word1), n_mips=pool.n_mips,
+            aniso=aniso, interpret=True))
+
+    iso = run(False)
+    ani = run(True)
+    m = (iso[8] > 0.5) & (ani[8] > 0.5)
+    assert m.mean() > 0.8
+    # isotropic picks mip 3 (rho=8): stripes average to flat ~0.5^2;
+    # aniso picks from the minor axis (rho ~ 8/3 cap) and keeps contrast
+    assert ani[0][m].std() > iso[0][m].std() * 1.5, \
+        (iso[0][m].std(), ani[0][m].std())
