@@ -483,7 +483,8 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
              sun_direction, sun_color, sun_strength, *,
              steps: int = 32, influence: float = 8.0,
              strict: bool = False, dims_zyx: tuple | None = None,
-             coarse_fallback: bool = True, interpret: bool = False):
+             coarse_fallback: bool = True, coarse_tables=None,
+             interpret: bool = False):
     """Trace one GI ray per pixel. All image inputs at trace resolution
     (typically half-res). Returns (Y_SH (4,H,W), CoCg (2,H,W),
     escaped (H,W) f32 0/1 — rays that left the fine window; when
@@ -508,8 +509,11 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
     meta = meta.at[0, 11].set(jnp.asarray(influence, jnp.float32))
 
     if use_coarse:
-        coarse_sdf, coarse_alb, (cd, ch, cw) = build_coarse_tables(
-            sdf_packed, albedo_packed, dims_zyx)
+        # static scenes pass tables prebuilt at attach_global_sdf; dynamic
+        # recomposites rebuild per frame from the working volume
+        coarse_sdf, coarse_alb, (cd, ch, cw) = (
+            coarse_tables if coarse_tables is not None
+            else build_coarse_tables(sdf_packed, albedo_packed, dims_zyx))
         meta = meta.at[0, 8].set(cd)
         meta = meta.at[0, 9].set(ch)
         meta = meta.at[0, 10].set(cw)

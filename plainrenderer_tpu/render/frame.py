@@ -243,10 +243,12 @@ def render_frame(
     # pristine brick-packed global SDF, window-local, on device ---
     sdf_vol = scene.get("sdf_volume")
     sdf_alb = scene.get("sdf_albedo")
+    sdf_coarse = scene.get("sdf_coarse")  # (sdf, alb, dims) or None
     if "object_transforms" in scene and "sdf_dyn_vols" in scene \
             and sdf_vol is not None:
         from ..ops import sdf_scene as sdf_scene_mod
 
+        sdf_coarse = None  # working volume changed; rebuild in trace_gi
         sdf_vol, sdf_alb = sdf_scene_mod.recomposite_dynamic(
             sdf_vol, sdf_alb, scene["sdf_origin"],
             scene["sdf_voxel_size"], scene["sdf_shape"].shape[:3],
@@ -513,6 +515,7 @@ def render_frame(
             strict=settings.sdf_trace.strict_influence_radius_cutoff,
             dims_zyx=scene["sdf_shape"].shape[:3],
             coarse_fallback=settings.sdf_trace.coarse_fallback,
+            coarse_tables=sdf_coarse,
             interpret=interpret)
 
         # the GI filter chain (resolve -> spatial -> temporal -> spatial)
@@ -856,6 +859,12 @@ def attach_global_sdf(scene_dict: dict, gsdf) -> dict:
     # zero-byte shape token: carries the volume dims STATICALLY (array
     # leaves are traced under jit; shapes are not) for the debug tracer
     scene_dict["sdf_shape"] = jnp.zeros(vol.shape + (0,), jnp.float32)
+    # prebuilt coarse-fallback tables (static scenes reuse them every
+    # frame; dynamic recomposites rebuild inside the frame jit instead)
+    from ..ops.sdfgi import build_coarse_tables
+
+    scene_dict["sdf_coarse"] = build_coarse_tables(
+        scene_dict["sdf_volume"], scene_dict["sdf_albedo"], vol.shape)
     return scene_dict
 
 
