@@ -142,12 +142,21 @@ def _sdf_block(p, a, b, c, jnp):
 
 def bake_mesh_sdf(positions: np.ndarray, indices: np.ndarray,
                   bb_min=None, bb_max=None, resolution=None,
-                  use_jax: bool = False) -> np.ndarray:
+                  use_jax: bool = False,
+                  use_native: bool | None = None) -> np.ndarray:
     """Bake one mesh's SDF volume. Returns (rz, ry, rx) float32.
 
     positions: (V, 3) f32; indices: (I,) or (I/3, 3) int. bb_min/bb_max
     default to the mesh AABB (the UNPADDED box, as in SceneSDF.cpp:115-118;
     padding happens internally).
+
+    use_native=None (auto) uses the C++ baker (native/sdf_bake.cc:
+    grid-pruned exact distances, hierarchical winding sign) when it builds
+    on this machine — it bakes Sponza-class meshes at full resolution,
+    which the dense numpy evaluation cannot. The numpy/jax paths remain
+    the portable reference implementation. Native distances are clamped
+    at the pruning radius (far past the trace/composite s8 clamp, which
+    caps at ~16 voxels — see ops/sdfgi._SDF_SCALE).
     """
     positions = np.asarray(positions, np.float32)
     tri = np.asarray(indices).reshape(-1, 3).astype(np.int64)
@@ -161,8 +170,22 @@ def bake_mesh_sdf(positions: np.ndarray, indices: np.ndarray,
     pad_min, pad_max = pad_sdf_bounding_box(bb_min, bb_max)
     pad_min = np.asarray(pad_min, np.float32)
     pad_max = np.asarray(pad_max, np.float32)
-    points = _voxel_centers(resolution, pad_min, pad_max)
 
+    if use_native is None:
+        use_native = not use_jax
+    if use_native:
+        from ..native import bake_sdf_native
+
+        # prune radius: generous multiple of the largest voxel (the s8
+        # quantization used by the composite/trace clamps at 15.9 voxels)
+        ext = pad_max - pad_min
+        vox_max = float((ext / np.asarray([rx, ry, rz])).max())
+        out = bake_sdf_native(positions, tri, pad_min, pad_max,
+                              (rx, ry, rz), max_dist=32.0 * vox_max)
+        if out is not None:
+            return out
+
+    points = _voxel_centers(resolution, pad_min, pad_max)
     v0 = positions[tri[:, 0]]
     v1 = positions[tri[:, 1]]
     v2 = positions[tri[:, 2]]
