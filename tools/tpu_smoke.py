@@ -59,14 +59,20 @@ def main():
     print(f"# scene setup: {time.time()-t0:.1f}s ({rs.triangle_count} tris)",
           file=sys.stderr)
 
-    # full-resolution GI + separate supersampling: covers the kernels the
-    # default settings skip
+    # full-resolution GI + separate supersampling + trilinear/aniso texture
+    # filtering + AABB overlay: covers the kernels and kernel VARIANTS the
+    # default settings skip (texture_filter=2 compiles the 2-window + 3-tap
+    # paths; draw_bounding_boxes the debug scatter)
+    from plainrenderer_tpu.config import ShadingConfig
+
     settings = RenderSettings(
         width=256, height=256,
         exposure_adaption_speed=1000.0,
         sdf_trace=SDFTraceSettings(enabled=True, half_resolution=False,
                                    trace_steps=32),
         taa=TAASettings(use_separate_supersampling=True),
+        shading=ShadingConfig(texture_filter=2),
+        draw_bounding_boxes=True,
     )
     state = initial_state(settings.width, settings.height,
                           gi_half_res=settings.sdf_trace.half_resolution)
