@@ -146,6 +146,8 @@ class AtriumConfig:
     floor_subdiv: int = 8
     box_count: int = 12
     box_subdiv: int = 3
+    banner_count: int = 0  # alpha-tested hanging banners (Sponza fabric
+    #   analog; exercises the alpha clip path in depth/shadow/gbuffer)
     seed: int = 7
 
 
@@ -173,6 +175,16 @@ def procedural_texture(albedo, kind: str, size: int = 256, seed: int = 0):
         tint_full = np.repeat(np.repeat(tint, size // 8, 0), size // 4, 1)
         alb = np.clip(alb * (1.0 + tint_full[:size, :size]), 0.0, 1.0)
         height = 1.0 - mortar.astype(np.float32)
+    elif kind == "lattice":
+        # woven fabric with cut-outs: alpha-tested (depthPrepass.frag:28-31)
+        fx = np.sin(xs / size * np.pi * 16)
+        fy = np.sin(ys / size * np.pi * 16)
+        holes = (np.abs(fx) < 0.45) & (np.abs(fy) < 0.45)
+        weave = 0.8 + 0.2 * np.sign(fx * fy)
+        alb3 = base[None, None, :] * weave[..., None]
+        alpha = np.where(holes, 0.0, 1.0).astype(np.float32)
+        alb = np.concatenate([alb3, alpha[..., None]], -1)
+        height = weave.astype(np.float32) * 0.5
     else:  # marble-ish bands
         p = np.sin(xs / size * 12.0 + 3.0 * np.sin(ys / size * 6.0))
         alb = base[None, None, :] * (0.8 + 0.25 * p)[..., None]
@@ -203,12 +215,13 @@ def build_atrium_scene(config: AtriumConfig | None = None,
 
     tex_kinds = ("checker", "brick", "marble")
 
-    def add_object(mesh: MeshData, translate, albedo):
+    def add_object(mesh: MeshData, translate, albedo, tex_kind=None):
         mesh.mean_albedo = np.asarray(albedo, np.float32)
         mesh_index = len(meshes)
         if textured:
             mesh.texture_images = procedural_texture(
-                albedo, tex_kinds[mesh_index % 3], seed=mesh_index)
+                albedo, tex_kind or tex_kinds[mesh_index % 3],
+                seed=mesh_index)
         meshes.append(mesh)
         m = np.eye(4, dtype=np.float32)
         m[:3, 3] = translate
@@ -250,6 +263,25 @@ def build_atrium_scene(config: AtriumConfig | None = None,
         x = float(rng.uniform(-L * 0.85, L * 0.85))
         z = float(rng.uniform(-W * 0.8, W * 0.8))
         add_object(b, [x, -size / 2, z], palette[i % len(palette)])
+
+    # alpha-tested hanging banners between the column rows (Sponza's
+    # fabric analog); double-sided: two opposing quads per banner
+    for i in range(cfg.banner_count):
+        x = -L * 0.7 + i * (1.4 * L / max(cfg.banner_count - 1, 1))
+        front = _quad([x - 1.2, -H * 0.75, 0.0], [x + 1.2, -H * 0.75, 0.0],
+                      [x + 1.2, -H * 0.2, 0.0], [x - 1.2, -H * 0.2, 0.0],
+                      normal=[0, 0, 1], tangent=[1, 0, 0], uv_scale=1.0,
+                      subdiv=4)
+        back = _quad([x + 1.2, -H * 0.75, 0.0], [x - 1.2, -H * 0.75, 0.0],
+                     [x - 1.2, -H * 0.2, 0.0], [x + 1.2, -H * 0.2, 0.0],
+                     normal=[0, 0, -1], tangent=[-1, 0, 0], uv_scale=1.0,
+                     subdiv=4)
+        banner = _merge([front, back])
+        if textured:
+            add_object(banner, [0.0, 0.0, 0.0], [0.7, 0.25, 0.2],
+                       tex_kind="lattice")
+        else:
+            add_object(banner, [0.0, 0.0, 0.0], [0.7, 0.25, 0.2])
 
     return Scene(objects=objects, meshes=meshes)
 

@@ -300,3 +300,53 @@ def test_aabb_debug_overlay():
     # off the lines, the image is untouched
     same = over == base_img
     assert same[~yellow].mean() > 0.999
+
+
+def test_alpha_banners_render_with_holes():
+    """Alpha-tested banners (Sponza fabric analog) reach the frame through
+    the alpha-clip path: the banner mesh occludes where woven, shows the
+    scene through its cut-outs (depthPrepass.frag:28-31)."""
+    cfg = procedural.AtriumConfig(
+        columns_per_row=2, floor_subdiv=2, box_count=0, box_subdiv=1,
+        column_segments=8, banner_count=2)
+    scene_data = procedural.build_atrium_scene(cfg, textured=True)
+    rs = scenebuild.build_render_scene(scene_data)
+    assert rs.alpha_masks is not None  # the lattice texture is alpha-tested
+    scene = frame_mod.scene_to_device(rs)
+    settings = small_settings()
+    luts = frame_mod.bake_static_luts(settings)
+    ext = cam.extrinsic_from_angles([0.0, -1.7, -4.0], pitch_deg=0.0,
+                                    yaw_deg=0.0)
+    camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                     ext.up)
+    st = initial_state(W, H)
+    img = None
+    for _ in range(2):
+        img, st = frame_mod.render_frame(
+            st, scene, camera, luts, jnp.asarray(0.016), settings,
+            interpret=True)
+    img = np.asarray(img).astype(np.int32)
+
+    # same scene without banners
+    cfg0 = dataclasses.replace(cfg, banner_count=0)
+    rs0 = scenebuild.build_render_scene(
+        procedural.build_atrium_scene(cfg0, textured=True))
+    scene0 = frame_mod.scene_to_device(rs0)
+    st = initial_state(W, H)
+    img0 = None
+    for _ in range(2):
+        img0, st = frame_mod.render_frame(
+            st, scene0, camera, luts, jnp.asarray(0.016), settings,
+            interpret=True)
+    img0 = np.asarray(img0).astype(np.int32)
+
+    changed = (np.abs(img - img0).max(-1) > 8)
+    assert changed.sum() > 200, changed.sum()  # banners visible
+    # the cut-outs let background through: inside the banner's screen bbox
+    # a meaningful fraction of pixels still equals the no-banner image
+    ys, xs = np.nonzero(changed)
+    y0, y1 = ys.min(), ys.max()
+    x0, x1 = xs.min(), xs.max()
+    box = (slice(y0, y1 + 1), slice(x0, x1 + 1))
+    same_in_box = (np.abs(img[box] - img0[box]).max(-1) <= 2).mean()
+    assert same_in_box > 0.1, same_in_box
