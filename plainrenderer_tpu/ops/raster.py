@@ -356,7 +356,8 @@ class PairLists:
 
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
-                pairs_per_tri: float = 4.0, n_views: int = 1) -> PairLists:
+                pairs_per_tri: float = 4.0, n_views: int = 1,
+                tile_cap: int | None = None) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
     COMPACTION-FIRST emission: at real scene loads the live pair stream is
@@ -416,8 +417,15 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
         (32, 32, win(144)),
         (128, 128, win(576, 64)),
     ]
+    if tiles_per_view > 512:
+        # far-fitted shadow cascades see large-but-not-full-view spans in
+        # the hundreds of tiles (measured 108 tris at 129-512 + 43 at
+        # 512-1408 on the bench atlas); without this rung they all landed
+        # in the full-view class and overflowed its tiny window
+        ladder.append((512, 512, win(4096, 32)))
     if tiles_per_view > 128:
-        ladder.append((tiles_per_view, tiles_per_view, 16))
+        ladder.append((tiles_per_view, tiles_per_view,
+                       max(16, t_count // 16384)))
 
     # class id: 0 = biggest spans ... len-1 = span<=2; invalid/empty last.
     # Assign largest limit first so the TIGHTEST matching rung wins.
@@ -493,8 +501,14 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     raw_end = jnp.searchsorted(
         keys_sorted, (tile_ids + 1) * (tpv + 1)).astype(jnp.int32)
     n_real = raw_end - raw_start
-    # cap leaves room for the group-aligned lead-in masked by the kernel
-    capped = jnp.minimum(n_real, MAX_PAIRS_PER_TILE - GROUP)
+    # cap leaves room for the group-aligned lead-in masked by the kernel.
+    # The default bound comes from the WINNER-tracking kernels (the slot
+    # index must fit SLOT_BITS of the depth mantissa); depth-only passes
+    # (shadow cascades) have no slot packing and pass a larger tile_cap —
+    # far-fitted cascades legitimately exceed 1920 casters per tile
+    # (measured 42.8k dropped pairs/frame on the bench scene before this).
+    cap = (MAX_PAIRS_PER_TILE - GROUP) if tile_cap is None else tile_cap
+    capped = jnp.minimum(n_real, cap)
     overflow = overflow + jnp.sum(n_real - capped)
 
     return PairLists(

@@ -141,6 +141,50 @@ def _apply_object_transforms(scene, transforms, positions_only=False):
     return corners, normals, tangents, bitangents, nctr - next_, nctr + next_
 
 
+@jax.named_scope("shadow.atlas_setup")
+def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
+                       g_bitangents, obj_bb_min, obj_bb_max, cascade_mats,
+                       n_cas: int, sres: int, alpha_slots, t_count: int):
+    """All cascades as ONE vertical-atlas TriangleSetup: one vmapped
+    geometry stage, one pair sort, one setup gather, one Pallas launch (the
+    per-cascade version paid each fixed cost 3x; SURVEY 3.2 pass 8 renders
+    cascades as separate drawcall batches because Vulkan framebuffers force
+    it — nothing forces it here)."""
+    from ..scene.frustum import expand_object_mask, visible_objects_clipspace
+
+    s_nty = sres // raster.TILE_H
+    cas_mats = cascade_mats[:n_cas]
+    cas_visible = jax.vmap(
+        lambda m: expand_object_mask(
+            visible_objects_clipspace(
+                m, obj_bb_min, obj_bb_max,
+                cull_z=False),
+            scene["tri_starts"], t_count))(cas_mats)
+    s_setup = jax.vmap(
+        lambda m, vis: raster.geometry_setup(
+            g_corners, scene["corner_uvs"],
+            g_normals, g_tangents,
+            g_bitangents, scene["tri_material"],
+            vis, m, m, sres, sres, cull="none", with_attrs=False,
+            tri_alpha_slot=alpha_slots)
+    )(cas_mats, cas_visible)
+    # shift each cascade's edge planes into its atlas row band:
+    # evaluating at atlas y needs c' = c - b*off, and offset bboxes
+    y_off = (jnp.arange(n_cas, dtype=jnp.float32)
+             * sres).reshape(n_cas, 1, 1)
+    edges_a = s_setup.edges.at[:, 2].add(-s_setup.edges[:, 1] * y_off)
+    n_pl = edges_a.shape[2]
+    edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, n_pl, -1)
+    offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
+    bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
+    bbox_a = bbox_a.at[..., 2].add(offs)
+    return raster.TriangleSetup(
+        edges=edges_a,
+        attrs=jnp.zeros((raster.NATTR, 0), jnp.float32),
+        tile_bbox=bbox_a.reshape(-1, 4),
+        valid=s_setup.valid.reshape(-1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "interpret", "axis_name", "full_height"),
@@ -379,39 +423,12 @@ def render_frame(
         sres = settings.shadows.resolution
         s_nty, s_ntx = sres // raster.TILE_H, sres // raster.TILE_W
         n_cas = settings.shadows.cascade_count
-        with jax.named_scope("shadow.atlas_setup"):
-            cas_mats = cascade_mats[:n_cas]
-            cas_visible = jax.vmap(
-                lambda m: expand_object_mask(
-                    visible_objects_clipspace(
-                        m, obj_bb_min, obj_bb_max,
-                        cull_z=False),
-                    scene["tri_starts"], t_count))(cas_mats)
-            s_setup = jax.vmap(
-                lambda m, vis: raster.geometry_setup(
-                    g_corners, scene["corner_uvs"],
-                    g_normals, g_tangents,
-                    g_bitangents, scene["tri_material"],
-                    vis, m, m, sres, sres, cull="none", with_attrs=False,
-                    tri_alpha_slot=alpha_slots)
-            )(cas_mats, cas_visible)
-            # shift each cascade's edge planes into its atlas row band:
-            # evaluating at atlas y needs c' = c - b*off, and offset bboxes
-            y_off = (jnp.arange(n_cas, dtype=jnp.float32)
-                     * sres).reshape(n_cas, 1, 1)
-            edges_a = s_setup.edges.at[:, 2].add(-s_setup.edges[:, 1] * y_off)
-            n_pl = edges_a.shape[2]
-            edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, n_pl, -1)
-            offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
-            bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
-            bbox_a = bbox_a.at[..., 2].add(offs)
-            atlas_setup = raster.TriangleSetup(
-                edges=edges_a,
-                attrs=jnp.zeros((raster.NATTR, 0), jnp.float32),
-                tile_bbox=bbox_a.reshape(-1, 4),
-                valid=s_setup.valid.reshape(-1))
+        atlas_setup = shadow_atlas_setup(
+            scene, g_corners, g_normals, g_tangents, g_bitangents,
+            obj_bb_min, obj_bb_max, cascade_mats, n_cas, sres,
+            alpha_slots, t_count)
         s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
-                                     n_views=n_cas)
+                                     n_views=n_cas, tile_cap=1 << 14)
         s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
         atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
                                        s_ntx, interpret=interpret,
