@@ -411,21 +411,36 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     def win(frac, lo=256):
         return max(lo, t_count // frac)
 
+    # Window sizing (overflow-counted; state.debug_counters must stay 0):
+    # the single-tile class is LAST in the sorted order, so its prefix
+    # window sees EVERY live triangle — it must be t_count to be SOUND
+    # (a poorly-culled view keeps >t/3 alive: measured 915 of 2688 on the
+    # 1024-atlas test scene, which silently dropped 19 pairs under a t/3
+    # window). One slot per entry keeps the sound case cheap. The larger
+    # classes keep fractional windows tuned ~2-10x over the measured bench
+    # distributions (tools/pair_stats.py; e.g. shadow atlas @292k tris/
+    # view: 62.6k 2-span, 1.3k 3-8, 12 9-32, 35 33-128, 108 129-512, 43
+    # above).
     ladder = [
-        (2, 2, win(3)),
+        (1, 1, t_count),
+        (2, 2, win(6)),
         (8, 8, win(24)),
         (32, 32, win(144)),
         (128, 128, win(576, 64)),
     ]
-    if tiles_per_view > 512:
-        # far-fitted shadow cascades see large-but-not-full-view spans in
-        # the hundreds of tiles (measured 108 tris at 129-512 + 43 at
-        # 512-1408 on the bench atlas); without this rung they all landed
-        # in the full-view class and overflowed its tiny window
-        ladder.append((512, 512, win(4096, 32)))
     if tiles_per_view > 128:
+        # far-fitted shadow cascades see large-but-not-full-view spans in
+        # the hundreds of tiles; without this rung they all landed in the
+        # full-view class and overflowed its window
+        lim = min(512, tiles_per_view)
+        ladder.append((lim, lim, win(2048, 32 * n_views)))
+    if tiles_per_view > 512:
+        # full-view spans: tightly-fitted cascades can zoom into dense
+        # geometry (every view of an atlas may contribute some), and the
+        # main view gets conservative full-screen bboxes for near-plane-
+        # crossing triangles — floor the window per view
         ladder.append((tiles_per_view, tiles_per_view,
-                       max(16, t_count // 16384)))
+                       max(16 * n_views, t_count // 16384)))
 
     # class id: 0 = biggest spans ... len-1 = span<=2; invalid/empty last.
     # Assign largest limit first so the TIGHTEST matching rung wins.
@@ -478,6 +493,11 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     overflow = jnp.int32(0)
     for ci, (_, _, window) in enumerate(ladder):
         window = min(window, t_count)
+        import os as _os
+        if _os.environ.get("PAIR_DEBUG"):
+            jax.debug.print(
+                "rung {ci}: cum={c} window={w}", ci=ci,
+                c=cum[n_classes - 1 - ci], w=window)
         overflow = overflow + jnp.maximum(
             cum[n_classes - 1 - ci] - window, 0)
 
@@ -509,6 +529,11 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     # (measured 42.8k dropped pairs/frame on the bench scene before this).
     cap = (MAX_PAIRS_PER_TILE - GROUP) if tile_cap is None else tile_cap
     capped = jnp.minimum(n_real, cap)
+    import os as _os
+    if _os.environ.get("PAIR_DEBUG"):
+        jax.debug.print("tilecap drops={d} max_tile={m} class_ovf={o}",
+                        d=jnp.sum(n_real - capped), m=jnp.max(n_real),
+                        o=overflow)
     overflow = overflow + jnp.sum(n_real - capped)
 
     return PairLists(

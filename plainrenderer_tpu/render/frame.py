@@ -400,6 +400,7 @@ def render_frame(
 
     tan_fov_half = math.tan(math.radians(FOV_DEG) * 0.5)
     aspect = width / (full_height or height)  # band height is not the frame
+    shadow_overflow = jnp.zeros((), jnp.int32)
     if settings.shadows.cascade_count > 0:
         d_min, d_max = hiz.depth_min_max(depth)
         if axis_name is not None:
@@ -429,6 +430,7 @@ def render_frame(
             alpha_slots, t_count)
         s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
                                      n_views=n_cas, tile_cap=1 << 14)
+        shadow_overflow = s_pairs.overflow
         s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
         atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
                                        s_ntx, interpret=interpret,
@@ -797,6 +799,8 @@ def render_frame(
         volumetric_history=new_vol_history,
         prev_view_projection=view_proj,
         prev_jitter=jitter_ndc,
+        debug_counters=jnp.stack(
+            [pairs.overflow, shadow_overflow]).astype(jnp.int32),
     )
     return image, new_state
 

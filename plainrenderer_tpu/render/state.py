@@ -26,6 +26,9 @@ class FrameState(NamedTuple):
     volumetric_history: jnp.ndarray  # (4, D, Hv, Wv) froxel scattering history
     prev_view_projection: jnp.ndarray  # (4, 4)
     prev_jitter: jnp.ndarray  # (2,)
+    debug_counters: jnp.ndarray  # (2,) i32 [main pair overflow, shadow
+    #   pair overflow] — the allocator/drawcall-stats analog; MUST stay 0
+    #   (dropped pairs = missing geometry; see ops/raster.build_pairs)
 
 
 def initial_state(width: int, height: int, gi_half_res: bool = True,
@@ -50,4 +53,5 @@ def initial_state(width: int, height: int, gi_half_res: bool = True,
         volumetric_history=jnp.zeros((4, froxel_depth, vh, vw), jnp.float32),
         prev_view_projection=jnp.eye(4, dtype=jnp.float32),
         prev_jitter=jnp.zeros((2,), jnp.float32),
+        debug_counters=jnp.zeros((2,), jnp.int32),
     )

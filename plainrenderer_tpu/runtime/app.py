@@ -243,6 +243,9 @@ def main():
             f"MEM {_memory_stats_mb():7.1f} MB  EXP"
             f" {float(app.state.exposure):.5f}",
         ]
+        ovf = np.asarray(app.state.debug_counters)
+        if ovf.any():  # dropped raster pairs = missing geometry
+            stats.append(f"OVERFLOW MAIN {int(ovf[0])} SHADOW {int(ovf[1])}")
         if not args.no_overlay:
             frame = burn_stats(frame, stats, scale=args.overlay_scale)
         save_image(out_dir / f"frame_{i:04d}.png", frame)

@@ -61,6 +61,8 @@ def test_minimal_frame_end_to_end():
     assert int(state.frame_index) == 3
     assert float(state.exposure) > 0
     assert np.isfinite(np.asarray(state.prev_color)).all()
+    # no raster pairs were dropped (build_pairs budget/tile-cap guard)
+    assert (np.asarray(state.debug_counters) == 0).all()
 
 
 def test_frame_deterministic():
