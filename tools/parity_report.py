@@ -193,6 +193,69 @@ def check_tonemap_exposure():
         "max bin count diff", f"{diff:.1f}", "<= 1", diff <= 1)
 
 
+def check_shadow_taa_bloom():
+    import jax.numpy as jnp
+
+    from plainrenderer_tpu.ops import bloom as bloom_ops
+    from plainrenderer_tpu.ops import color_packing
+
+    # R11G11B10 packing: the TAA history format (RenderFrontend target)
+    rng = np.random.default_rng(11)
+    rgb = jnp.asarray(rng.random((3, 16, 128)).astype(np.float32) * 4.0)
+    back = np.asarray(color_packing.unpack_r11g11b10(
+        color_packing.pack_r11g11b10(rgb)))
+    rel = np.abs(back - np.asarray(rgb)) / np.maximum(np.asarray(rgb), 1e-3)
+    row("TAA history packing", "R11G11B10_UFLOAT target",
+        "max rel err", f"{rel.max():.2e}", "< 2^-5", rel.max() < 2 ** -5)
+
+    # bloom: the additive chain's energy on a constant image is exactly
+    # (n_mips - 1) x the input (Bloom.cpp additive upsample)
+    c = jnp.full((3, 64, 128), 0.25, jnp.float32)
+    out = np.asarray(bloom_ops.compute_bloom(c, strength=1.0,
+                                             blur_radius=1.0, mip_count=5))
+    expected = 0.25 * 4  # 4 upsample additions at full weight
+    err = abs(out.mean() - expected) / expected
+    row("bloom chain", "bloomDownsample/Upsample.comp energy",
+        "const-image energy rel err", f"{err:.2e}", "< 0.02", err < 0.02)
+
+    # PCF shadow: box over plane — umbra dark, open ground lit (the
+    # sunShadowResolve analog; exact spiral-tap parity lives in
+    # tests/test_shadow.py)
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_shadow import render_cascade, shadow_scene
+
+    from plainrenderer_tpu.ops import shadow as shadow_ops
+
+    corners = shadow_scene()
+    sun_dir = jnp.asarray([0.0, -1.0, 0.0])
+    cam_pos = jnp.asarray([0.0, -1.7, -8.0])
+    mats, splits, scales = shadow_ops.compute_cascade_info(
+        jnp.asarray(0.05), jnp.asarray(0.95), cam_pos,
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([0.0, -1.0, 0.0]),
+        jnp.asarray([1.0, 0.0, 0.0]), 0.3, 16 / 9, 0.1, 300.0, sun_dir, 3,
+        jnp.asarray(3.0), jnp.asarray(30.0))
+    size = 512
+    maps = [np.asarray(render_cascade(corners, mats[cidx], size))
+            for cidx in range(3)] + [np.zeros((size, size), np.float32)]
+    h, w = 16, 128
+    xs = jnp.linspace(-4, 4, w)
+    zs = jnp.linspace(-4, 4, h)
+    wx, wz = jnp.meshgrid(xs, zs, indexing="xy")
+    world_pos = jnp.stack([wx, jnp.zeros_like(wx) - 0.01, wz], axis=0)
+    lin_depth = -jnp.sum(
+        (cam_pos.reshape(3, 1, 1) - world_pos)
+        * jnp.asarray([0.0, 0.0, 1.0]).reshape(3, 1, 1), axis=0)
+    res = np.asarray(shadow_ops.shadow_resolve(
+        world_pos, lin_depth, jnp.full((h, w), 0.5), jnp.asarray(maps),
+        mats, scales, splits, cascade_count=3, taps=8, interpret=True))
+    wxn, wzn = np.asarray(wx), np.asarray(wz)
+    umbra = res[(np.abs(wxn) < 0.7) & (np.abs(wzn) < 0.7)].mean()
+    lit = res[(np.abs(wxn) > 2.0) | (np.abs(wzn) > 2.0)].mean()
+    row("PCF sun shadows", "sunShadowResolve 12-tap spiral",
+        "umbra / lit means", f"{umbra:.2f} / {lit:.2f}",
+        "< 0.25 / > 0.75", umbra < 0.25 and lit > 0.75)
+
+
 def check_band_parity():
     # summarized from the dedicated parity tests (kept there for CI); the
     # table reports their thresholds as the measured contract
@@ -210,7 +273,8 @@ def main():
     args = ap.parse_args()
 
     for fn in (check_rasterizer, check_texture_sampler, check_gi_trace,
-               check_tonemap_exposure, check_band_parity):
+               check_tonemap_exposure, check_shadow_taa_bloom,
+               check_band_parity):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 - report, don't die
