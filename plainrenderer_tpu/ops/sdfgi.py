@@ -123,7 +123,7 @@ def _trace_kernel(
     out_ref,  # (7, TILE_H, TILE_W): Y_SH(4) + CoCg(2) + escaped(1)
     win_sdf, win_alb, sems,
     *, steps: int, influence: float, sky_h: int, sky_w: int,
-    strict: bool = False, coarse: bool = False,
+    strict: bool = False, coarse: bool = False, coarse_f: int = 4,
 ):
     ox = meta_ref[0, 0]
     oy = meta_ref[0, 1]
@@ -298,8 +298,9 @@ def _trace_kernel(
         cd = meta_ref[0, 8].astype(jnp.int32)
         chh = meta_ref[0, 9].astype(jnp.int32)
         cww = meta_ref[0, 10].astype(jnp.int32)
+        cww_words = meta_ref[0, 12].astype(jnp.int32)  # x-padded stride
         influence_far = meta_ref[0, 11]
-        voxel_c = voxel * 4.0
+        voxel_c = voxel * float(coarse_f)
         coarse_table = coarse_sdf_ref[...]
         coarse_alb_table = coarse_alb_ref[...]
 
@@ -313,7 +314,7 @@ def _trace_kernel(
             ix = gx.astype(jnp.int32)
             iy = gy.astype(jnp.int32)
             iz = gz.astype(jnp.int32)
-            widx = (iz * chh + iy) * (cww >> 2) + (ix >> 2)
+            widx = (iz * chh + iy) * cww_words + (ix >> 2)
             word = gatherlib.gather_rows_128(coarse_table, widx)
             b = ix & 3
             v = jnp.where(
@@ -345,11 +346,24 @@ def _trace_kernel(
         cx_ = px + dx * t_c
         cy_ = py + dy * t_c
         cz_ = pz + dz * t_c
-        _, c_aidx = sample_coarse(cx_, cy_, cz_)
-        caw = gatherlib.gather_rows_128(coarse_alb_table, c_aidx)
-        calb_r = ((caw >> 0) & 0xFF).astype(jnp.float32) / 255.0
-        calb_g = ((caw >> 8) & 0xFF).astype(jnp.float32) / 255.0
-        calb_b = ((caw >> 16) & 0xFF).astype(jnp.float32) / 255.0
+        # albedo fetch gated on any coarse hit: the (Ra, 128) table gather
+        # costs ~3 vector ops PER ROW — skipped wholesale on all-miss tiles
+        # via a 1-iteration while_loop (pl.when cannot return values)
+        zero_px = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+        def alb_cond(st):
+            return (st[0] < 1) & (jnp.max(hitc_f) > 0.0)
+
+        def alb_body(st):
+            _, c_aidx = sample_coarse(cx_, cy_, cz_)
+            caw = gatherlib.gather_rows_128(coarse_alb_table, c_aidx)
+            return (st[0] + 1,
+                    ((caw >> 0) & 0xFF).astype(jnp.float32) / 255.0,
+                    ((caw >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+                    ((caw >> 16) & 0xFF).astype(jnp.float32) / 255.0)
+
+        _, calb_r, calb_g, calb_b = jax.lax.while_loop(
+            alb_cond, alb_body, (jnp.int32(0), zero_px, zero_px, zero_px))
 
         def cs_cond(state):
             i, _, _ = state
@@ -436,45 +450,63 @@ def _trace_kernel(
     out_ref[6] = escaped_f
 
 
-COARSE = 4  # fine voxels per coarse-fallback voxel axis
+COARSE = 4  # MINIMUM fine voxels per coarse-fallback voxel axis
+
+
+def coarse_factor_for(dims_zyx: tuple) -> int:
+    """Pick the pooling factor so the coarse volume stays <= 8192 voxels:
+    the in-kernel table gather (gatherlib.gather_rows_128) costs ~3 vector
+    ops PER TABLE ROW, so the albedo table (1 word/voxel) must stay at
+    <= 64 (R, 128) rows."""
+    f = COARSE
+    d, h, w = dims_zyx
+    while (d // f) * (h // f) * (w // f) > 8192 and f < 16:
+        f *= 2
+    return f
 
 
 @jax.named_scope("sdfgi.coarse_volume")
 def build_coarse_tables(sdf_packed, albedo_packed, dims_zyx: tuple):
-    """4x min-pooled whole-scene SDF + mean albedo, lane-flattened for VMEM.
+    """Min-pooled whole-scene SDF + mean albedo, lane-flattened for VMEM.
 
     The per-tile 32^3 window bounds the fine trace; rays leaving it fell
     straight through to the sky (VERDICT r1 #8: 'GI trace window can miss
     geometry'). The fallback marches this coarse volume instead — whole
-    scene, resident in VMEM (s8-packed: a 320-voxel-cap scene is <= 512 KB
-    + 2 MB albedo). Distances are MIN-pooled so the coarse march never
-    oversteps geometry the fine grid knows about; derived per call from the
-    packed bricks (cheap dense XLA) so dynamic recomposites are included.
-    Returns (coarse_sdf (Rs, 128) i32, coarse_alb (Ra, 128) i32,
-    coarse_dims (cd, ch, cw))."""
+    scene, resident in VMEM, capped at 8192 voxels via coarse_factor_for
+    (the kernel's table gather is linear in table rows). Distances are
+    MIN-pooled so the coarse march never oversteps geometry the fine grid
+    knows about; derived from the packed bricks (cheap dense XLA) so
+    dynamic recomposites are included. Returns (coarse_sdf (Rs, 128) i32,
+    coarse_alb (Ra, 128) i32, (cd, ch, cw), factor)."""
     d, h, w = dims_zyx
     from . import debugviz
 
+    f = coarse_factor_for(dims_zyx)
     vol = debugviz.unpack_sdf_volume(sdf_packed, (d, h, w))  # voxel units
-    cd, ch, cw = d // COARSE, h // COARSE, w // COARSE
-    vol = vol.reshape(cd, COARSE, ch, COARSE, cw, COARSE)
+    cd, ch, cw = d // f, h // f, w // f
+    vol = vol[:cd * f, :ch * f, :cw * f].reshape(cd, f, ch, f, cw, f)
     coarse = vol.min(axis=(1, 3, 5))
-    q = jnp.clip(jnp.round(coarse / COARSE * _SDF_SCALE), -127, 127)
+    q = jnp.clip(jnp.round(coarse / f * _SDF_SCALE), -127, 127)
     q = q.astype(jnp.int32) & 0xFF
-    q = q.reshape(cd, ch, cw // 4, 4)
+    pad_x = (-cw) % 4  # word packing needs 4-aligned x; pad with +max dist
+    if pad_x:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_x)), constant_values=127)
+    cw_words = (cw + pad_x) // 4
+    q = q.reshape(cd, ch, cw_words, 4)
     words = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
              | (q[..., 3] << 24)).reshape(-1)
     pad = (-words.shape[0]) % 128
     sdf_flat = jnp.pad(words, (0, pad)).reshape(-1, 128)
 
     alb = debugviz.unpack_albedo_volume(albedo_packed, (d, h, w))
-    alb = alb.reshape(3, cd, COARSE, ch, COARSE, cw, COARSE)
+    alb = alb[:, :cd * f, :ch * f, :cw * f].reshape(
+        3, cd, f, ch, f, cw, f)
     alb_c = alb.mean(axis=(2, 4, 6))
     aq = jnp.clip(jnp.round(alb_c * 255.0), 0, 255).astype(jnp.int32)
     awords = (aq[0] | (aq[1] << 8) | (aq[2] << 16)).reshape(-1)
     pad_a = (-awords.shape[0]) % 128
     alb_flat = jnp.pad(awords, (0, pad_a)).reshape(-1, 128)
-    return sdf_flat, alb_flat, (cd, ch, cw)
+    return sdf_flat, alb_flat, (cd, ch, cw), f
 
 
 @jax.named_scope("sdfgi.trace")
@@ -508,15 +540,21 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
         (WINDOW // 2 - 2) * jnp.asarray(voxel_size, jnp.float32)))
     meta = meta.at[0, 11].set(jnp.asarray(influence, jnp.float32))
 
+    coarse_f = 4
     if use_coarse:
+        # the factor must be STATIC for the kernel; coarse_factor_for is a
+        # pure function of the (static) dims, so it always agrees with the
+        # factor the tables were built with
+        coarse_f = coarse_factor_for(dims_zyx)
         # static scenes pass tables prebuilt at attach_global_sdf; dynamic
         # recomposites rebuild per frame from the working volume
-        coarse_sdf, coarse_alb, (cd, ch, cw) = (
+        coarse_sdf, coarse_alb, (cd, ch, cw), _ = (
             coarse_tables if coarse_tables is not None
             else build_coarse_tables(sdf_packed, albedo_packed, dims_zyx))
         meta = meta.at[0, 8].set(cd)
         meta = meta.at[0, 9].set(ch)
         meta = meta.at[0, 10].set(cw)
+        meta = meta.at[0, 12].set((cw + 3) // 4)  # word stride (x-padded)
     else:
         coarse_sdf = jnp.zeros((1, 128), jnp.int32)
         coarse_alb = jnp.zeros((1, 128), jnp.int32)
@@ -528,7 +566,8 @@ def trace_gi(world_pos, normal, ray_dirs, valid, sky_lowres, sdf_packed,
 
     kernel = functools.partial(
         _trace_kernel, steps=steps, influence=influence,
-        sky_h=sky_h, sky_w=sky_w, strict=strict, coarse=use_coarse)
+        sky_h=sky_h, sky_w=sky_w, strict=strict, coarse=use_coarse,
+        coarse_f=coarse_f)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nty, ntx),
