@@ -264,17 +264,17 @@ def build_atrium_scene(config: AtriumConfig | None = None,
         z = float(rng.uniform(-W * 0.8, W * 0.8))
         add_object(b, [x, -size / 2, z], palette[i % len(palette)])
 
-    # alpha-tested hanging banners between the column rows (Sponza's
-    # fabric analog); double-sided: two opposing quads per banner
+    # alpha-tested hanging banners across the hall (Sponza's fabric
+    # analog, faces along the long axis); double-sided: two opposing quads
     for i in range(cfg.banner_count):
         x = -L * 0.7 + i * (1.4 * L / max(cfg.banner_count - 1, 1))
-        front = _quad([x - 1.2, -H * 0.75, 0.0], [x + 1.2, -H * 0.75, 0.0],
-                      [x + 1.2, -H * 0.2, 0.0], [x - 1.2, -H * 0.2, 0.0],
-                      normal=[0, 0, 1], tangent=[1, 0, 0], uv_scale=1.0,
+        front = _quad([x, -H * 0.75, -1.2], [x, -H * 0.75, 1.2],
+                      [x, -H * 0.2, 1.2], [x, -H * 0.2, -1.2],
+                      normal=[1, 0, 0], tangent=[0, 0, 1], uv_scale=1.0,
                       subdiv=4)
-        back = _quad([x + 1.2, -H * 0.75, 0.0], [x - 1.2, -H * 0.75, 0.0],
-                     [x - 1.2, -H * 0.2, 0.0], [x + 1.2, -H * 0.2, 0.0],
-                     normal=[0, 0, -1], tangent=[-1, 0, 0], uv_scale=1.0,
+        back = _quad([x, -H * 0.75, 1.2], [x, -H * 0.75, -1.2],
+                     [x, -H * 0.2, -1.2], [x, -H * 0.2, 1.2],
+                     normal=[-1, 0, 0], tangent=[0, 0, -1], uv_scale=1.0,
                      subdiv=4)
         banner = _merge([front, back])
         if textured:

@@ -350,5 +350,8 @@ def test_alpha_banners_render_with_holes():
     y0, y1 = ys.min(), ys.max()
     x0, x1 = xs.min(), xs.max()
     box = (slice(y0, y1 + 1), slice(x0, x1 + 1))
+    # the changed-pixel bbox also sweeps in the banners' shadows, so only
+    # a small share of it stays background — but a fully OPAQUE banner
+    # (broken alpha path) leaves ~0 unchanged pixels inside its bbox
     same_in_box = (np.abs(img[box] - img0[box]).max(-1) <= 2).mean()
-    assert same_in_box > 0.1, same_in_box
+    assert same_in_box > 0.04, same_in_box

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Render the committed gallery (gallery/*.png): visual evidence of the
+pipeline — final frame with GI + fog + TAA + banners, SDF debug views,
+cascade tint, AABB wireframes.
+
+Usage: [JAX_PLATFORMS=cpu] python tools/make_gallery.py [--width 512]
+       [--height 288] [--frames 8]
+CPU-interpret runs take a few minutes per still on one core.
+"""
+
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default=str(REPO / "gallery"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plainrenderer_tpu.assets import procedural
+    from plainrenderer_tpu.assets.image_io import save_image
+    from plainrenderer_tpu.config import (RenderSettings, SDFDebugSettings,
+                                          SDFTraceSettings, ShadowSettings)
+    from plainrenderer_tpu.ops import sdf_scene
+    from plainrenderer_tpu.render import frame as frame_mod
+    from plainrenderer_tpu.render import scenebuild
+    from plainrenderer_tpu.render.state import initial_state
+    from plainrenderer_tpu.scene import camera as cam
+
+    interpret = jax.devices()[0].platform == "cpu"
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    cfg = procedural.AtriumConfig(columns_per_row=4, floor_subdiv=6,
+                                  box_count=8, box_subdiv=2,
+                                  column_segments=16, banner_count=3)
+    scene_data = procedural.build_atrium_scene(cfg)
+    rs = scenebuild.build_render_scene(scene_data)
+    print(f"triangles: {rs.triangle_count}", file=sys.stderr)
+    base_scene = frame_mod.scene_to_device(rs)
+    gsdf = sdf_scene.build_scene_sdf(rs, scene_data, bake_resolution_cap=32)
+    scene = frame_mod.attach_global_sdf(base_scene, gsdf)
+
+    ext = cam.extrinsic_from_angles([-9.0, -1.8, 1.5], pitch_deg=8.0,
+                                    yaw_deg=10.0)
+    camera = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                     ext.up)
+    base = RenderSettings(width=args.width, height=args.height,
+                          exposure_adaption_speed=1000.0,
+                          sdf_trace=SDFTraceSettings(trace_steps=48),
+                          shadows=ShadowSettings(resolution=1024))
+
+    shots = [
+        ("final", base),
+        ("no_gi", dataclasses.replace(
+            base, sdf_trace=SDFTraceSettings(enabled=False))),
+        ("sdf_lit", dataclasses.replace(
+            base, sdf_debug=SDFDebugSettings(visualisation_mode=1))),
+        ("sdf_normals", dataclasses.replace(
+            base, sdf_debug=SDFDebugSettings(visualisation_mode=3))),
+        ("cascades", dataclasses.replace(
+            base, shadows=ShadowSettings(resolution=1024,
+                                         debug_cascade_colors=True))),
+        ("aabb", dataclasses.replace(base, draw_bounding_boxes=True)),
+    ]
+    for name, settings in shots:
+        t0 = time.time()
+        state = initial_state(args.width, args.height)
+        image = None
+        for _ in range(args.frames):
+            image, state = frame_mod.render_frame(
+                state, scene, camera, luts_cache(settings, frame_mod),
+                jnp.asarray(0.016), settings, interpret=interpret)
+        img = np.asarray(image)
+        path = out_dir / f"{name}.png"
+        save_image(path, img)
+        print(f"{name}: {time.time()-t0:.1f}s mean={img.mean():.1f}",
+              file=sys.stderr)
+
+
+_LUTS = {}
+
+
+def luts_cache(settings, frame_mod):
+    key = settings.atmosphere
+    if key not in _LUTS:
+        _LUTS[key] = frame_mod.bake_static_luts(settings)
+    return _LUTS[key]
+
+
+if __name__ == "__main__":
+    main()
