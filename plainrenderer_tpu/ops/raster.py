@@ -357,28 +357,31 @@ class PairLists:
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 pairs_per_tri: float = 4.0, n_views: int = 1,
-                tile_cap: int | None = None) -> PairLists:
+                tile_cap: int | None = None,
+                pair_budget: int | None = None) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
-    COMPACTION-FIRST emission: at real scene loads the live pair stream is
-    a tiny fraction of the triangle table (measured on the 292k-triangle
-    atrium at 1080p: 24.5k visible triangles / 57k pairs in the main view;
-    the per-triangle-slot scheme this replaces carried a 1.27M-slot static
-    stream — 95% sentinels — through the sort AND the setup gather).
+    EXACT prefix-sum emission: each live triangle owns exactly span_y *
+    span_x slots of the stream, located by a cumulative-sum of spans —
+    zero wasted slots, no per-class window tuning (the previous class-
+    ladder design needed per-distribution budgets and silently dropped
+    pairs whenever a scene/view's span histogram disagreed with them;
+    caught three times by the overflow counters). Static shapes come from
+    ONE global `pair_budget`:
 
-    Stages, all static-shaped:
-      1. classify each triangle by tile-span into a geometric ladder
-         (<=2, <=8, <=32, <=128, <=tiles_per_view slots);
-      2. ONE stable argsort over the packed class keys compacts live
-         triangles to the front, largest spans first;
-      3. each ladder class emits candidates from a PREFIX WINDOW of the
-         compacted order (big spans sort first, so each window is a
-         prefix; entries of other classes inside a window are masked).
-         Window sizes scale with the triangle count (headroom >= 4x the
-         measured distributions; overruns DROP triangles, counted in
-         `overflow`);
-      4. ONE packed-key lax.sort orders the combined stream by
-         (tile, tri).
+      1. spans + exclusive cumsum locate each triangle's slot run;
+      2. run STARTS are scattered into the budget-length stream and
+         forward-filled with a cummax, mapping every slot to its triangle
+         (two (budget,)-sized gathers fetch the per-triangle geometry);
+      3. slot - run_start enumerates the triangle's tiles row-major;
+      4. ONE packed-key lax.sort orders the stream by (tile, tri).
+
+    pair_budget defaults to t_count + 8 * n_tiles (every triangle one
+    slot + 8x overdraw per tile; 2-5x the real pair count on measured
+    scenes). Total pairs beyond it are DROPPED from the END of the
+    triangle array (not screen-correlated) and counted in `overflow` —
+    which rides FrameState.debug_counters, is burned into the app stats
+    overlay, and is asserted zero in the frame tests.
 
     Per-tile segments are NOT re-aligned: the raster kernels DMA from the
     group-aligned floor of each segment start and mask the lead-in (the
@@ -405,104 +408,52 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
     span = span_y * span_x
 
-    # ladder: (span limit, slots per entry, window entries). Windows are
-    # prefixes of the class-sorted order; larger-span classes sort first,
-    # so each window must hold its own class count PLUS every larger class.
-    def win(frac, lo=256):
-        return max(lo, t_count // frac)
+    if pair_budget is None:
+        pair_budget = t_count + 8 * n_tiles
+    budget = max(GROUP, (pair_budget + GROUP - 1) // GROUP * GROUP)
 
-    # Window sizing (overflow-counted; state.debug_counters must stay 0):
-    # the single-tile class is LAST in the sorted order, so its prefix
-    # window sees EVERY live triangle — it must be t_count to be SOUND
-    # (a poorly-culled view keeps >t/3 alive: measured 915 of 2688 on the
-    # 1024-atlas test scene, which silently dropped 19 pairs under a t/3
-    # window). One slot per entry keeps the sound case cheap. The larger
-    # classes keep fractional windows tuned ~2-10x over the measured bench
-    # distributions (tools/pair_stats.py; e.g. shadow atlas @292k tris/
-    # view: 62.6k 2-span, 1.3k 3-8, 12 9-32, 35 33-128, 108 129-512, 43
-    # above).
-    ladder = [
-        (1, 1, t_count),
-        (2, 2, win(6)),
-        (8, 8, win(24)),
-        (32, 32, win(144)),
-        (128, 128, win(576, 64)),
-    ]
-    if tiles_per_view > 128:
-        # far-fitted shadow cascades see large-but-not-full-view spans in
-        # the hundreds of tiles; without this rung they all landed in the
-        # full-view class and overflowed its window
-        lim = min(512, tiles_per_view)
-        ladder.append((lim, lim, win(2048, 32 * n_views)))
-    if tiles_per_view > 512:
-        # full-view spans: tightly-fitted cascades can zoom into dense
-        # geometry (every view of an atlas may contribute some), and the
-        # main view gets conservative full-screen bboxes for near-plane-
-        # crossing triangles — floor the window per view
-        ladder.append((tiles_per_view, tiles_per_view,
-                       max(16 * n_views, t_count // 16384)))
+    # exclusive prefix sum: triangle t owns stream slots
+    # [cum_ex[t], cum_ex[t] + span[t])   (i32: total pairs past 2^31 would
+    # wrap, but such a frame is orders of magnitude past any budget)
+    cum = jnp.cumsum(span)
+    total = cum[-1]
+    cum_ex = cum - span
+    overflow = jnp.maximum(total - budget, 0)
 
-    # class id: 0 = biggest spans ... len-1 = span<=2; invalid/empty last.
-    # Assign largest limit first so the TIGHTEST matching rung wins.
-    n_classes = len(ladder)
-    cls = jnp.full((t_count,), n_classes, jnp.int32)
-    for ci in range(n_classes - 1, -1, -1):
-        limit = ladder[ci][0]
-        cls = jnp.where((span > 0) & (span <= limit),
-                        n_classes - 1 - ci, cls)
+    # scatter each live run's start, forward-fill with cummax: cum_ex is
+    # nondecreasing in t, so the filled value at slot j is the LAST
+    # triangle whose run starts at or before j == the slot's owner
+    start = jnp.where(span > 0, cum_ex, budget)  # park empty runs
+    pay = jnp.zeros((budget + 1,), jnp.int32).at[
+        jnp.minimum(start, budget)].max(
+        jnp.where(span > 0, jnp.arange(t_count, dtype=jnp.int32) + 1, 0))
+    tri_per_slot = jax.lax.cummax(pay[:budget]) - 1  # -1 before first run
+    tri_c = jnp.clip(tri_per_slot, 0, t_count - 1)
 
-    # stable sort by class: one (key, iota) sort compacts live triangles
-    # to the front with the largest spans first, original order within
-    # class — yields both the sorted classes and the permutation
-    cls_sorted_marker, order = jax.lax.sort(
-        (cls, jnp.arange(t_count, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)
-
-    # packed per-triangle geometry, gathered per window as ONE i32 value:
-    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b] (span_y <= 255 always:
-    # a view is at most 512 tile rows and windows cap slots anyway)
+    # per-slot geometry: ONE packed-i32 gather of
+    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]  (span_y <= 255: views
+    # are at most 128 tile rows — 2048px shadow / 16; asserted above)
     geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
                    + jnp.minimum(span_y, 255))
+    g = geom_packed[tri_c]
+    k = jnp.arange(budget, dtype=jnp.int32) - cum_ex[tri_c]
+    sy = g & 255
+    sx = jnp.maximum((g >> 8) & 127, 1)
+    x0 = (g >> 15) & 127
+    y0 = g >> 22
+    dy = k // sx
+    dx = k - dy * sx
+    tile = (y0 + dy) * n_tiles_x + x0 + dx
+    tri_local = tri_c % tpv
+
     sentinel = jnp.int32(n_tiles * (tpv + 1))
-
-    key_parts = []
-    for ci, (limit, k_slots, window) in enumerate(ladder):
-        window = min(window, t_count)
-        idx = order[:window]
-        g = geom_packed[idx]
-        want = cls_sorted_marker[:window] == (n_classes - 1 - ci)
-        sy = (g & 255)[:, None]
-        sx = ((g >> 8) & 127)[:, None]
-        x0 = ((g >> 15) & 127)[:, None]
-        y0 = (g >> 22)[:, None]
-        k = jnp.arange(k_slots, dtype=jnp.int32)[None, :]
-        sxc = jnp.maximum(sx, 1)
-        dy = k // sxc
-        dx = k - dy * sxc
-        ok = want[:, None] & (k < sy * sx)
-        tile = (y0 + dy) * n_tiles_x + x0 + dx
-        tri_local = (idx % tpv)[:, None]
-        key_parts.append(
-            jnp.where(ok, tile * (tpv + 1) + tri_local,
-                      sentinel).reshape(-1))
-
-    # overflow: entries of class ci (plus all larger classes, which sit
-    # before it in the compacted order) beyond the window are dropped
-    counts = jnp.bincount(jnp.minimum(cls, n_classes), length=n_classes + 1)
-    cum = jnp.cumsum(counts)
-    overflow = jnp.int32(0)
-    for ci, (_, _, window) in enumerate(ladder):
-        window = min(window, t_count)
-        import os as _os
-        if _os.environ.get("PAIR_DEBUG"):
-            jax.debug.print(
-                "rung {ci}: cum={c} window={w}", ci=ci,
-                c=cum[n_classes - 1 - ci], w=window)
-        overflow = overflow + jnp.maximum(
-            cum[n_classes - 1 - ci] - window, 0)
-
-    key = jnp.concatenate(key_parts)
-    p_max = key.shape[0]
+    # k < span guards the cummax fill-through past runs whose start fell
+    # beyond the budget (their slots belong to an earlier triangle with
+    # exhausted k); j < total guards the stream tail
+    slot_live = ((tri_per_slot >= 0)
+                 & (jnp.arange(budget, dtype=jnp.int32) < total)
+                 & (k < sy * sx))
+    key = jnp.where(slot_live, tile * (tpv + 1) + tri_local, sentinel)
     keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
