@@ -1,15 +1,15 @@
 #!/usr/bin/env python
 """Pair-stream statistics on the bench scene: real pairs vs static budget.
 
-The rasterizer's compaction ladder (ops/raster.build_pairs) sizes its
-per-class windows statically with ~4x headroom; the row gather that
-duplicates triangle setups into pair order pays for every STATIC slot,
-sentinels included. This tool prints, per view (main + shadow atlas):
+The rasterizer's exact prefix-sum emission (ops/raster.build_pairs) sizes
+its stream with ONE static pair_budget; the row gather that duplicates
+triangle setups into pair order pays for every STATIC slot, sentinels
+included. This tool prints, per view (main + shadow atlas):
   - live triangles after culling,
   - real pairs (sum of tile counts),
   - static stream slots (what the sort + gather actually process),
   - overflow (dropped pairs — must be 0).
-Use it to size stream-truncation caps before perf work.
+Use it to size pair budgets before perf work.
 
 Usage: python tools/pair_stats.py [--scale 4] [--width 1920 --height 1080]
        (add JAX_PLATFORMS=cpu for a CPU run; numbers are identical)
