@@ -116,6 +116,8 @@ def geometry_setup(
     #   world-space corners for motion vectors (defaults to `corners`)
     tri_alpha_slot: jnp.ndarray | None = None,  # (T,) i32 alpha-mask slot
     #   (0 = opaque); presence turns on the 8-plane alpha-test edge table
+    bin_rows: int = 1,  # 16px-rows per raster bin (the kernels' `sub`):
+    #   tile_bbox y-indices are emitted in (bin_rows * TILE_H)-px units
 ) -> TriangleSetup:
     """Dense per-triangle setup. Mirrors the vertex-stage semantics of
     triangle.vert / depthPrepass.vert with reverse-Z viewport transform.
@@ -228,8 +230,9 @@ def geometry_setup(
     # plain vertex min/max — the 9-candidate near-clip machinery is ~20
     # elementwise passes over (T, 9) arrays that ortho projections never
     # need (measured several ms at shadow-atlas triangle counts)
+    bin_h = TILE_H * bin_rows
     ntx = width // TILE_W
-    nty = height // TILE_H
+    nty = height // bin_h
     if near_w <= 0.0:
         # clamp w to tiny-positive: a behind-eye vertex (perspective caller
         # with clipping off) blows its coordinate up to +-1e12 and the
@@ -270,8 +273,8 @@ def geometry_setup(
         ymax = jnp.max(jnp.where(cok, cy, -big), axis=1)
     tx0 = jnp.clip(jnp.floor(xmin / TILE_W), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(xmax / TILE_W), 0, ntx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(ymin / TILE_H), 0, nty - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor(ymax / TILE_H), 0, nty - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / bin_h), 0, nty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / bin_h), 0, nty - 1).astype(jnp.int32)
     offscreen = (xmax < 0) | (xmin >= width) | (ymax < 0) | (ymin >= height)
     valid = valid & ~offscreen
     tile_bbox = jnp.stack(
@@ -415,63 +418,78 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     # exclusive prefix sum: triangle t owns stream slots
     # [cum_ex[t], cum_ex[t] + span[t])   (i32: total pairs past 2^31 would
     # wrap, but such a frame is orders of magnitude past any budget)
-    cum = jnp.cumsum(span)
-    total = cum[-1]
-    cum_ex = cum - span
-    overflow = jnp.maximum(total - budget, 0)
+    with jax.named_scope("bin.spans"):
+        cum = jnp.cumsum(span)
+        total = cum[-1]
+        cum_ex = cum - span
+        overflow = jnp.maximum(total - budget, 0)
 
     # scatter each live run's start, forward-fill with cummax: cum_ex is
     # nondecreasing in t, so the filled value at slot j is the LAST
     # triangle whose run starts at or before j == the slot's owner
-    start = jnp.where(span > 0, cum_ex, budget)  # park empty runs
-    pay = jnp.zeros((budget + 1,), jnp.int32).at[
-        jnp.minimum(start, budget)].max(
-        jnp.where(span > 0, jnp.arange(t_count, dtype=jnp.int32) + 1, 0))
-    tri_per_slot = jax.lax.cummax(pay[:budget]) - 1  # -1 before first run
-    tri_c = jnp.clip(tri_per_slot, 0, t_count - 1)
+    with jax.named_scope("bin.scatter_fill"):
+        start = jnp.where(span > 0, cum_ex, budget)  # park empty runs
+        pay = jnp.zeros((budget + 1,), jnp.int32).at[
+            jnp.minimum(start, budget)].max(
+            jnp.where(span > 0, jnp.arange(t_count, dtype=jnp.int32) + 1, 0))
+        tri_per_slot = jax.lax.cummax(pay[:budget]) - 1  # -1 before 1st run
+        tri_c = jnp.clip(tri_per_slot, 0, t_count - 1)
 
     # per-slot geometry: ONE packed-i32 gather of
     # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]  (span_y <= 255: views
     # are at most 128 tile rows — 2048px shadow / 16; asserted above)
-    geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
-                   + jnp.minimum(span_y, 255))
-    g = geom_packed[tri_c]
-    k = jnp.arange(budget, dtype=jnp.int32) - cum_ex[tri_c]
-    sy = g & 255
-    sx = jnp.maximum((g >> 8) & 127, 1)
-    x0 = (g >> 15) & 127
-    y0 = g >> 22
-    dy = k // sx
-    dx = k - dy * sx
-    tile = (y0 + dy) * n_tiles_x + x0 + dx
-    tri_local = tri_c % tpv
+    with jax.named_scope("bin.decode"):
+        geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
+                       + jnp.minimum(span_y, 255))
+        # ONE (T+?, 2)-row gather for geometry + run start (two separate
+        # (budget,) gathers measured ~2x the cost of one 2-wide row take)
+        pair_tbl = jnp.stack([geom_packed, cum_ex], axis=1)  # (T, 2)
+        picked = pair_tbl[tri_c]  # (budget, 2)
+        g = picked[:, 0]
+        k = jnp.arange(budget, dtype=jnp.int32) - picked[:, 1]
+        sy = g & 255
+        sx = jnp.maximum((g >> 8) & 127, 1)
+        x0 = (g >> 15) & 127
+        y0 = g >> 22
+        # k // sx in f32: exact for 0 <= k < 2^23 (correctly-rounded
+        # division of dy*sx + r by sx cannot reach dy + 1: the gap 1/sx
+        # exceeds the ulp of k/sx for k below 2^23). Integer div lowers to
+        # a long VPU software sequence — measured a large share of decode.
+        kc = jnp.clip(k, 0, (1 << 23) - 1)
+        dy = jnp.floor(kc.astype(jnp.float32)
+                       / sx.astype(jnp.float32)).astype(jnp.int32)
+        dx = kc - dy * sx
+        tile = (y0 + dy) * n_tiles_x + x0 + dx
+        tri_local = tri_c % tpv
 
-    sentinel = jnp.int32(n_tiles * (tpv + 1))
-    # k < span guards the cummax fill-through past runs whose start fell
-    # beyond the budget (their slots belong to an earlier triangle with
-    # exhausted k); j < total guards the stream tail
-    slot_live = ((tri_per_slot >= 0)
-                 & (jnp.arange(budget, dtype=jnp.int32) < total)
-                 & (k < sy * sx))
-    key = jnp.where(slot_live, tile * (tpv + 1) + tri_local, sentinel)
-    keys_sorted = jax.lax.sort(key)
+        sentinel = jnp.int32(n_tiles * (tpv + 1))
+        # k < span guards the cummax fill-through past runs whose start fell
+        # beyond the budget (their slots belong to an earlier triangle with
+        # exhausted k); j < total guards the stream tail
+        slot_live = ((tri_per_slot >= 0)
+                     & (jnp.arange(budget, dtype=jnp.int32) < total)
+                     & (k < sy * sx))
+        key = jnp.where(slot_live, tile * (tpv + 1) + tri_local, sentinel)
+    with jax.named_scope("bin.sort"):
+        keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
     # t_count, the degenerate padding row)
-    tile_s = keys_sorted // (tpv + 1)
-    tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
-    # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can read
-    # up to GROUP-1 entries past the last tile's segment end
-    pair_tri = jnp.concatenate([
-        jnp.minimum(tri_glob, t_count),
-        jnp.full((GROUP,), t_count, jnp.int32)])
+    with jax.named_scope("bin.segments"):
+        tile_s = keys_sorted // (tpv + 1)
+        tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
+        # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can
+        # read up to GROUP-1 entries past the last tile's segment end
+        pair_tri = jnp.concatenate([
+            jnp.minimum(tri_glob, t_count),
+            jnp.full((GROUP,), t_count, jnp.int32)])
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    raw_start = jnp.searchsorted(
-        keys_sorted, tile_ids * (tpv + 1)).astype(jnp.int32)
-    raw_end = jnp.searchsorted(
-        keys_sorted, (tile_ids + 1) * (tpv + 1)).astype(jnp.int32)
-    n_real = raw_end - raw_start
+        tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+        raw_start = jnp.searchsorted(
+            keys_sorted, tile_ids * (tpv + 1)).astype(jnp.int32)
+        raw_end = jnp.searchsorted(
+            keys_sorted, (tile_ids + 1) * (tpv + 1)).astype(jnp.int32)
+        n_real = raw_end - raw_start
     # cap leaves room for the group-aligned lead-in masked by the kernel.
     # The default bound comes from the WINNER-tracking kernels (the slot
     # index must fit SLOT_BITS of the depth mantissa); depth-only passes
@@ -561,6 +579,9 @@ def _pixel_basis(tile_y, tile_x):
     TILE_W) of the tile; the final (1, PX) accumulator reshapes to
     (TILE_H, TILE_W) once per tile. The zero 4th row pairs with the pad
     coefficient row of the (16, P) edge layout.
+
+    tile_y/tile_x are 16x128-block coordinates; multi-row bins (sub > 1)
+    pass tile_y = bin_y * sub + s for sub-block s.
     """
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, PX_PER_TILE), 1)
     x_local = (lin % TILE_W).astype(jnp.float32) + 0.5
@@ -575,7 +596,7 @@ def _pixel_basis(tile_y, tile_x):
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
-                        alpha_scr=None):
+                        alpha_scr=None, sub: int = 1):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max.
 
@@ -584,6 +605,13 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     the lead-in/tail rows outside [start, start+count) are masked. Slots are
     tracked relative to the aligned base so the G-buffer attribute refetch
     uses the same aligned DMA grid.
+
+    sub > 1: each program owns a (sub * TILE_H, TILE_W) BIN of sub
+    16x128-px sub-blocks sharing ONE pair list (acc_ref is (sub, PX)).
+    Bigger bins amortize program overhead and, more importantly, shrink the
+    pair stream (every binning-stage cost is O(pairs)); the cost is that a
+    pair covering one sub-block is edge-evaluated against all of them
+    (MXU time, far from the bottleneck).
 
     masks_ref (VMEM (MAX_ALPHA_MATERIALS, 128) i32) + alpha_scr (VMEM
     (GROUP, PX) i32) turn on the alpha-test path: requires the 8-plane edge
@@ -598,7 +626,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     lead = start - base
     n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
-    basis = _pixel_basis(ty, tx)  # (3, PX)
+    bases = [_pixel_basis(ty * sub + s, tx) for s in range(sub)]
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def group_dma(slot, g):
@@ -622,101 +650,109 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         group_dma(slot, g).wait()
         mat = edge_buf[slot]  # (n_rows, GROUP): planes x [a, b, c, pad]
 
-        # per plane p: (4, GROUP) coeffs x (4, PX) basis -> (GROUP, PX);
-        # value-level sublane slices, no shape cast
-        def plane_eval(p):
-            return jax.lax.dot_general(
-                mat[4 * p:4 * p + 4], basis, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        e0 = plane_eval(0)
-        e1 = plane_eval(1)
-        e2 = plane_eval(2)
-        zz = plane_eval(3)
-        cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
         # mask rows outside this tile's [start, start+count) segment
         row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
                + g * GROUP)
-        cov = cov & (row >= lead) & (row < lead + count)
+        seg_ok = (row >= lead) & (row < lead + count)
 
         if masks_ref is not None:
             # alpha test: mask-slot plane is constant per pair -> row 30
             # (plane 7's c coeff) is the per-pair slot in LANES
             slot_row = mat[30:31]  # (1, GROUP) f32
             has_alpha = jnp.max(slot_row) > 0.5
+            # per-pair slot into SUBLANE space via identity matmul
+            # (a (1, G) -> (G, 1) transpose Mosaic handles on the MXU)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+            gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+            ident = (gi == gj).astype(jnp.float32)
+            slot_col = jax.lax.dot_general(
+                ident, slot_row, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (GROUP, 1)
+            # per-pair mask row table (GROUP, 128 words)
+            table0 = jnp.full((GROUP, 128), -1, jnp.int32)  # opaque
+            for m in range(masks_ref.shape[0]):
+                table0 = jnp.where(
+                    jnp.abs(slot_col - (m + 1)) < 0.5,
+                    masks_ref[m:m + 1], table0)
 
-            @pl.when(has_alpha)
-            def _():
-                uw = plane_eval(4)
-                vw = plane_eval(5)
-                iw = plane_eval(6)  # screen-affine 1/w (> 0 inside view)
-                inv = 1.0 / jnp.where(iw > 1e-12, iw, 1.0)
-                u = uw * inv
-                v = vw * inv
-                # wrap addressing, 64x64 nearest
-                ix = jnp.clip((u - jnp.floor(u)) * 64.0, 0.0, 63.0) \
-                    .astype(jnp.int32)
-                iy = jnp.clip((v - jnp.floor(v)) * 64.0, 0.0, 63.0) \
-                    .astype(jnp.int32)
-                word_idx = iy * 2 + (ix >= 32).astype(jnp.int32)  # [0,128)
-                # per-pair slot into SUBLANE space via identity matmul
-                # (a (1, G) -> (G, 1) transpose Mosaic handles on the MXU)
-                gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-                gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
-                ident = (gi == gj).astype(jnp.float32)
-                slot_col = jax.lax.dot_general(
-                    ident, slot_row, (((1,), (1,)), ((), ())),
+        for s in range(sub):
+            basis = bases[s]
+
+            # per plane p: (4, GROUP) coeffs x (4, PX) basis -> (GROUP, PX)
+            def plane_eval(p):
+                return jax.lax.dot_general(
+                    mat[4 * p:4 * p + 4], basis, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (GROUP, 1)
-                # per-pair mask row table (GROUP, 128 words)
-                table = jnp.full((GROUP, 128), -1, jnp.int32)  # opaque
-                for m in range(masks_ref.shape[0]):
-                    table = jnp.where(
-                        jnp.abs(slot_col - (m + 1)) < 0.5,
-                        masks_ref[m:m + 1], table)
-                # ONE single-vreg lane gather per 128-px block
-                words = [
-                    jnp.take_along_axis(
-                        table, word_idx[:, b * 128:(b + 1) * 128], axis=1)
-                    for b in range(PX_PER_TILE // 128)
-                ]
-                word = jnp.concatenate(words, axis=1)  # (GROUP, PX)
-                bit = (word >> (ix & 31)) & 1
-                passes = (slot_col < 0.5) | (bit == 1)
-                alpha_scr[...] = passes.astype(jnp.int32)
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
-            @pl.when(~has_alpha)
-            def _():
-                alpha_scr[...] = jnp.ones_like(alpha_scr)
+            e0 = plane_eval(0)
+            e1 = plane_eval(1)
+            e2 = plane_eval(2)
+            zz = plane_eval(3)
+            cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+            cov = cov & seg_ok
 
-            cov = cov & (alpha_scr[...] > 0)
-        if depth_clamp:
-            # sun-shadow semantics: the reference renders cascades with
-            # depth clamping (lightMatrix.comp:62 comment), so casters
-            # outside the fitted z-range still write clamped depth
-            zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
-        else:
-            # far clip (z <= 0) and near clip (z > 1): with homogeneous
-            # edge setup the near-plane-crossing region is cut here, pixel-
-            # exact (Vulkan clipper parity)
-            cov = cov & (zz > 0.0) & (zz <= 1.0)
-            zc = jnp.clip(zz, 0.0, 1.0)
-        zi = pltpu.bitcast(zc, jnp.int32)
-        if track_winner:
-            cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | row, 0)
-        else:
-            cand = jnp.where(cov, zi, 0)
-        group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
-        acc_ref[...] = jnp.maximum(acc_ref[...], group_max)
+            if masks_ref is not None:
+                @pl.when(has_alpha)
+                def _():
+                    uw = plane_eval(4)
+                    vw = plane_eval(5)
+                    iw = plane_eval(6)  # screen-affine 1/w (> 0 in view)
+                    inv = 1.0 / jnp.where(iw > 1e-12, iw, 1.0)
+                    u = uw * inv
+                    v = vw * inv
+                    # wrap addressing, 64x64 nearest
+                    ix = jnp.clip((u - jnp.floor(u)) * 64.0, 0.0, 63.0) \
+                        .astype(jnp.int32)
+                    iy = jnp.clip((v - jnp.floor(v)) * 64.0, 0.0, 63.0) \
+                        .astype(jnp.int32)
+                    word_idx = iy * 2 + (ix >= 32).astype(jnp.int32)
+                    # ONE single-vreg lane gather per 128-px block
+                    words = [
+                        jnp.take_along_axis(
+                            table0, word_idx[:, b * 128:(b + 1) * 128],
+                            axis=1)
+                        for b in range(PX_PER_TILE // 128)
+                    ]
+                    word = jnp.concatenate(words, axis=1)  # (GROUP, PX)
+                    bit = (word >> (ix & 31)) & 1
+                    passes = (slot_col < 0.5) | (bit == 1)
+                    alpha_scr[...] = passes.astype(jnp.int32)
+
+                @pl.when(~has_alpha)
+                def _():
+                    alpha_scr[...] = jnp.ones_like(alpha_scr)
+
+                cov = cov & (alpha_scr[...] > 0)
+            if depth_clamp:
+                # sun-shadow semantics: the reference renders cascades with
+                # depth clamping (lightMatrix.comp:62 comment), so casters
+                # outside the fitted z-range still write clamped depth
+                zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
+            else:
+                # far clip (z <= 0) and near clip (z > 1): with homogeneous
+                # edge setup the near-plane-crossing region is cut here,
+                # pixel-exact (Vulkan clipper parity)
+                cov = cov & (zz > 0.0) & (zz <= 1.0)
+                zc = jnp.clip(zz, 0.0, 1.0)
+            zi = pltpu.bitcast(zc, jnp.int32)
+            if track_winner:
+                cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | row, 0)
+            else:
+                cand = jnp.where(cov, zi, 0)
+            group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
+            acc_ref[s:s + 1] = jnp.maximum(acc_ref[s:s + 1], group_max)
         return 0
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
-    # reshape the i32 accumulator ONCE to (TILE_H, TILE_W); all masks are
-    # derived in 2D afterwards (Mosaic rejects i1 lane-crossing reshapes)
-    acc2d = acc_ref[...].reshape(TILE_H, TILE_W)
+    # reshape the i32 accumulator ONCE to (sub * TILE_H, TILE_W); all masks
+    # are derived in 2D afterwards (Mosaic rejects i1 lane-crossing
+    # reshapes). (sub, PX) -> (sub * 16, 128) is row-order correct: element
+    # (s, j) lands at row s * 16 + j // 128, col j % 128.
+    acc2d = acc_ref[...].reshape(sub * TILE_H, TILE_W)
     if track_winner:
         depth_bits = acc2d & jnp.int32(~SLOT_MASK)
     else:
@@ -727,26 +763,30 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
 
 def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
-                  acc_ref, edge_buf, sems):
+                  acc_ref, edge_buf, sems, *, sub=1):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
-                        depth_clamp=True)
+                        depth_clamp=True, sub=sub)
 
 
 def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
-                        depth_ref, acc_ref, edge_buf, sems, alpha_scr):
+                        depth_ref, acc_ref, edge_buf, sems, alpha_scr,
+                        *, sub=1):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
-                        alpha_scr=alpha_scr)
+                        alpha_scr=alpha_scr, sub=sub)
 
 
 @jax.named_scope("raster.depth")
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
                     n_tiles_x: int, interpret: bool = False,
-                    alpha_masks=None):
+                    alpha_masks=None, sub: int = 1):
     """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity,
     including its alpha clip when alpha_masks is given).
+
+    n_tiles_y counts BINS of (sub * TILE_H) rows — pairs must come from a
+    build_pairs run on the same bin grid.
 
     Returns depth (H, W) f32 reverse-Z (0 = far / no coverage).
     """
@@ -755,7 +795,7 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     assert n_rows == (32 if alpha else 16), n_rows
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     scratch = [
-        pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
+        pltpu.VMEM((sub, PX_PER_TILE), jnp.int32),
         pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -771,15 +811,18 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
         grid=(n_tiles_y, n_tiles_x),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+            pl.BlockSpec((sub * TILE_H, TILE_W),
+                         lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
-    h = n_tiles_y * TILE_H
+    h = n_tiles_y * sub * TILE_H
     w = n_tiles_x * TILE_W
+    kern = functools.partial(
+        _depth_kernel_alpha if alpha else _depth_kernel, sub=sub)
     (depth,) = pl.pallas_call(
-        _depth_kernel_alpha if alpha else _depth_kernel,
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
         interpret=interpret,
@@ -790,11 +833,11 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
 def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=None, alpha_scr=None):
+                    masks_ref=None, alpha_scr=None, sub=1):
     """Full visibility + attribute resolve for the main view."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, track_winner=True,
-                        masks_ref=masks_ref, alpha_scr=alpha_scr)
+                        masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub)
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -805,20 +848,19 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     lead = start - base
     n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
-    # flat (1, PX) packed depth|slot; per-pixel masks stay flat so the
-    # attribute fetch can run as ONE one-hot matmul per slot group on the
-    # MXU (the per-channel take_along_axis version cost 48 lane gathers +
-    # selects per group)
-    acc_flat = acc_ref[...]  # (1, PX)
+    # flat (sub, PX) packed depth|slot; per-pixel masks stay flat so the
+    # attribute fetch can run as ONE one-hot matmul per slot group per
+    # sub-block on the MXU (the per-channel take_along_axis version cost
+    # 48 lane gathers + selects per group)
+    acc_flat = acc_ref[...]  # (sub, PX)
     valid_flat = acc_flat != 0
     slot_flat = acc_flat & SLOT_MASK  # slot == stream index relative to base
 
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
-    n_slot_groups = n_groups
 
     def sg_body(sg, _):
-        sel = valid_flat & ((slot_flat >> 7) == sg)  # (1, PX)
-        hit = jnp.any(sel)
+        sel_all = valid_flat & ((slot_flat >> 7) == sg)  # (sub, PX)
+        hit = jnp.any(sel_all)
 
         @pl.when(hit)
         def _():
@@ -837,87 +879,95 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
             # bit-exact through the bf16-pass decomposition (x 1.0 or 0.0).
             lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE),
                                             0)
-            onehot = ((slot_flat - sg * 128) == lane) & sel
-            vals = jax.lax.dot_general(
-                attr_buf[...], onehot.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            coeff_ref[...] = coeff_ref[...] + vals
+            for s in range(sub):
+                sel = sel_all[s:s + 1]
+
+                @pl.when(jnp.any(sel))
+                def _():
+                    onehot = ((slot_flat[s:s + 1] - sg * 128) == lane) & sel
+                    vals = jax.lax.dot_general(
+                        attr_buf[...], onehot.astype(jnp.float32),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    coeff_ref[s] = coeff_ref[s] + vals
         return 0
 
-    jax.lax.fori_loop(0, n_slot_groups, sg_body, 0)
+    jax.lax.fori_loop(0, n_groups, sg_body, 0)
 
-    # evaluate attribute planes per pixel, flat (1, PX); reshape each output
-    # channel to (TILE_H, TILE_W) once at the end (the acc2d pattern)
-    basis = _pixel_basis(ty, tx)  # (4, PX): x, y, 1, 0 rows
-    x = basis[0:1]
-    y = basis[1:2]
-    valid = valid_flat
+    # evaluate attribute planes per pixel, flat (1, PX) per sub-block;
+    # reshape each output channel to (TILE_H, TILE_W) rows once at the end
+    for s in range(sub):
+        basis = _pixel_basis(ty * sub + s, tx)  # (4, PX): x, y, 1, 0 rows
+        x = basis[0:1]
+        y = basis[1:2]
+        valid = valid_flat[s:s + 1]
+        coeff = coeff_ref[s]
 
-    def ev(base):
-        return (coeff_ref[base:base + 1] * x + coeff_ref[base + 1:base + 2]
-                * y + coeff_ref[base + 2:base + 3])
+        def ev(base):
+            return (coeff[base:base + 1] * x + coeff[base + 1:base + 2]
+                    * y + coeff[base + 2:base + 3])
 
-    def out2d(ch, val_flat):
-        gbuf_ref[ch] = val_flat.reshape(TILE_H, TILE_W)
+        def out2d(ch, val_flat):
+            gbuf_ref[ch, s * TILE_H:(s + 1) * TILE_H, :] = \
+                val_flat.reshape(TILE_H, TILE_W)
 
-    inv_w = ev(0)
-    w = jnp.where(valid, 1.0 / jnp.maximum(inv_w, 1e-12), 0.0)
-    u_over_w = ev(3)
-    v_over_w = ev(6)
-    u = u_over_w * w
-    v = v_over_w * w
-    # rational derivatives: d(U/W)/dx = (Ua - u * Wa) * w
-    ua, ub = coeff_ref[3:4], coeff_ref[4:5]
-    va, vb = coeff_ref[6:7], coeff_ref[7:8]
-    wa, wb = coeff_ref[0:1], coeff_ref[1:2]
-    out2d(_CH_U, u)
-    out2d(_CH_V, v)
-    out2d(_CH_DUDX, (ua - u * wa) * w)
-    out2d(_CH_DVDX, (va - v * wa) * w)
-    out2d(_CH_DUDY, (ub - u * wb) * w)
-    out2d(_CH_DVDY, (vb - v * wb) * w)
+        inv_w = ev(0)
+        w = jnp.where(valid, 1.0 / jnp.maximum(inv_w, 1e-12), 0.0)
+        u_over_w = ev(3)
+        v_over_w = ev(6)
+        u = u_over_w * w
+        v = v_over_w * w
+        # rational derivatives: d(U/W)/dx = (Ua - u * Wa) * w
+        ua, ub = coeff[3:4], coeff[4:5]
+        va, vb = coeff[6:7], coeff[7:8]
+        wa, wb = coeff[0:1], coeff[1:2]
+        out2d(_CH_U, u)
+        out2d(_CH_V, v)
+        out2d(_CH_DUDX, (ua - u * wa) * w)
+        out2d(_CH_DVDX, (va - v * wa) * w)
+        out2d(_CH_DUDY, (ub - u * wb) * w)
+        out2d(_CH_DVDY, (vb - v * wb) * w)
 
-    def vec3(base_row, out_base, normalize):
-        cx = ev(base_row) * w
-        cy = ev(base_row + 3) * w
-        cz = ev(base_row + 6) * w
-        if normalize:
-            inv_len = jax.lax.rsqrt(jnp.maximum(cx * cx + cy * cy + cz * cz,
-                                                1e-20))
-            cx, cy, cz = cx * inv_len, cy * inv_len, cz * inv_len
-        out2d(out_base, jnp.where(valid, cx, 0.0))
-        out2d(out_base + 1, jnp.where(valid, cy, 0.0))
-        out2d(out_base + 2, jnp.where(valid, cz, 0.0))
+        def vec3(base_row, out_base, normalize):
+            cx = ev(base_row) * w
+            cy = ev(base_row + 3) * w
+            cz = ev(base_row + 6) * w
+            if normalize:
+                inv_len = jax.lax.rsqrt(
+                    jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-20))
+                cx, cy, cz = cx * inv_len, cy * inv_len, cz * inv_len
+            out2d(out_base, jnp.where(valid, cx, 0.0))
+            out2d(out_base + 1, jnp.where(valid, cy, 0.0))
+            out2d(out_base + 2, jnp.where(valid, cz, 0.0))
 
-    vec3(9, _CH_N, True)
-    vec3(18, _CH_T, True)
-    out2d(_CH_MAT, coeff_ref[29:30])
+        vec3(9, _CH_N, True)
+        vec3(18, _CH_T, True)
+        out2d(_CH_MAT, coeff[29:30])
 
-    if coeff_ref.shape[0] >= NATTR_PREV:  # dynamic scene: prev-clip planes
-        prev_x = ev(30) * w
-        prev_y = ev(33) * w
-        prev_w = ev(36) * w
-        inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
-        out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
-        out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
+        if coeff_ref.shape[1] >= NATTR_PREV:  # dynamic: prev-clip planes
+            prev_x = ev(30) * w
+            prev_y = ev(33) * w
+            prev_w = ev(36) * w
+            inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
+            out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
+            out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
 
 
 def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
                           masks_ref, depth_ref, vis_ref, gbuf_ref,
                           acc_ref, coeff_ref, edge_buf, attr_buf, sems,
-                          attr_sem, alpha_scr):
+                          attr_sem, alpha_scr, sub=1):
     _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=masks_ref, alpha_scr=alpha_scr)
+                    masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub)
 
 
 @jax.named_scope("raster.gbuffer")
 def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
                       n_tiles_y: int, n_tiles_x: int, interpret: bool = False,
-                      alpha_masks=None):
+                      alpha_masks=None, sub: int = 1):
     """Main-view rasterization producing depth + visibility + G-buffer.
 
     G-buffer channels: uv (0-1), uv screen derivatives (2-5), world normal
@@ -938,8 +988,8 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch = [
-        pltpu.VMEM((1, PX_PER_TILE), jnp.int32),
-        pltpu.VMEM((n_attr, PX_PER_TILE), jnp.float32),
+        pltpu.VMEM((sub, PX_PER_TILE), jnp.int32),
+        pltpu.VMEM((sub, n_attr, PX_PER_TILE), jnp.float32),
         pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
         pltpu.VMEM((n_attr, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
@@ -957,20 +1007,23 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         grid=(n_tiles_y, n_tiles_x),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+            pl.BlockSpec((sub * TILE_H, TILE_W),
+                         lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+            pl.BlockSpec((sub * TILE_H, TILE_W),
+                         lambda ty, tx, *_: (ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chan, TILE_H, TILE_W),
+            pl.BlockSpec((n_chan, sub * TILE_H, TILE_W),
                          lambda ty, tx, *_: (0, ty, tx),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch,
     )
-    h = n_tiles_y * TILE_H
+    h = n_tiles_y * sub * TILE_H
     w = n_tiles_x * TILE_W
     depth, vis, gbuf = pl.pallas_call(
-        _gbuffer_kernel_alpha if alpha else _gbuffer_kernel,
+        functools.partial(
+            _gbuffer_kernel_alpha if alpha else _gbuffer_kernel, sub=sub),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),
@@ -987,11 +1040,11 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
 # --------------------------------------------------------------------------
 
 def winner_triangle_ids(vis: jnp.ndarray, pairs: PairLists,
-                        n_tiles_x: int) -> jnp.ndarray:
+                        n_tiles_x: int, sub: int = 1) -> jnp.ndarray:
     """Map per-pixel tile-local slots back to global triangle ids (tests /
     debug visualization only: uses an XLA gather)."""
     h, w = vis.shape
-    ty = jnp.arange(h) // TILE_H
+    ty = jnp.arange(h) // (TILE_H * sub)
     tx = jnp.arange(w) // TILE_W
     tile = ty[:, None] * n_tiles_x + tx[None, :]
     # vis slots are relative to the group-aligned floor of the segment start

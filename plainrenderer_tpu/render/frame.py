@@ -141,6 +141,25 @@ def _apply_object_transforms(scene, transforms, positions_only=False):
     return corners, normals, tangents, bitangents, nctr - next_, nctr + next_
 
 
+def shadow_bin_sub(sres: int) -> int:
+    """Raster-bin height (in 16px rows) for the shadow atlas: depth-only
+    bins have no winner-slot cap, so use the tallest bin the resolution
+    divides (128px at the reference's 2048 maps) — 8x fewer Pallas
+    programs and a ~4x smaller pair stream than 16px tiles."""
+    sub = 8
+    while sub > 1 and sres % (raster.TILE_H * sub):
+        sub //= 2
+    return sub
+
+
+def main_bin_sub(ph: int) -> int:
+    """Raster-bin height for the main view: 32px when the padded height
+    allows. Bounded by the winner-slot budget (SLOT_BITS mantissa packing
+    caps pairs per bin at 2048 - GROUP), which 64px bins would crowd at
+    Sponza-class densities."""
+    return 2 if ph % (raster.TILE_H * 2) == 0 else 1
+
+
 @jax.named_scope("shadow.atlas_setup")
 def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
                        g_bitangents, obj_bb_min, obj_bb_max, cascade_mats,
@@ -152,7 +171,8 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
     it — nothing forces it here)."""
     from ..scene.frustum import expand_object_mask, visible_objects_clipspace
 
-    s_nty = sres // raster.TILE_H
+    sub = shadow_bin_sub(sres)
+    s_nty = sres // (raster.TILE_H * sub)
     cas_mats = cascade_mats[:n_cas]
     cas_visible = jax.vmap(
         lambda m: expand_object_mask(
@@ -166,7 +186,7 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
             g_normals, g_tangents,
             g_bitangents, scene["tri_material"],
             vis, m, m, sres, sres, cull="none", with_attrs=False,
-            tri_alpha_slot=alpha_slots)
+            tri_alpha_slot=alpha_slots, bin_rows=sub)
     )(cas_mats, cas_visible)
     # shift each cascade's edge planes into its atlas row band:
     # evaluating at atlas y needs c' = c - b*off, and offset bboxes
@@ -210,7 +230,8 @@ def render_frame(
     """
     width, height = settings.width, settings.height
     pw, ph = raster.pad_resolution(width, height)
-    nty, ntx = ph // raster.TILE_H, pw // raster.TILE_W
+    m_sub = main_bin_sub(ph)
+    nty, ntx = ph // (raster.TILE_H * m_sub), pw // raster.TILE_W
 
     # directionToVector already points TOWARDS the sun (y-down world: zenith
     # is (0,-1,0)); the reference uses it unnegated everywhere
@@ -322,12 +343,13 @@ def render_frame(
         near_w=NEAR_PLANE,
         tri_alpha_slot=alpha_slots,
         prev_corners=prev_g_corners,
+        bin_rows=m_sub,
     )
     pairs = raster.build_pairs(setup, nty, ntx)
     pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True)
     depth, vis, gbuf = raster.rasterize_gbuffer(
         pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret,
-        alpha_masks=alpha_masks)
+        alpha_masks=alpha_masks, sub=m_sub)
     valid = vis >= 0
 
     # --- shading inputs ---
@@ -422,19 +444,21 @@ def render_frame(
         # pass 8 renders cascades as separate drawcall batches because
         # Vulkan framebuffers force it — nothing forces it here)
         sres = settings.shadows.resolution
-        s_nty, s_ntx = sres // raster.TILE_H, sres // raster.TILE_W
+        s_sub = shadow_bin_sub(sres)
+        s_nty = sres // (raster.TILE_H * s_sub)
+        s_ntx = sres // raster.TILE_W
         n_cas = settings.shadows.cascade_count
         atlas_setup = shadow_atlas_setup(
             scene, g_corners, g_normals, g_tangents, g_bitangents,
             obj_bb_min, obj_bb_max, cascade_mats, n_cas, sres,
             alpha_slots, t_count)
         s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
-                                     n_views=n_cas, tile_cap=1 << 14)
+                                     n_views=n_cas, tile_cap=1 << 15)
         shadow_overflow = s_pairs.overflow
         s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
         atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
                                        s_ntx, interpret=interpret,
-                                       alpha_masks=alpha_masks)
+                                       alpha_masks=alpha_masks, sub=s_sub)
         shadow_maps = atlas.reshape(n_cas, sres, sres)
         if n_cas < shadow.MAX_CASCADES:
             shadow_maps = jnp.concatenate([

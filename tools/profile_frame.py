@@ -111,8 +111,9 @@ def hlo_scope_map(hlo_text):
                  if p and not p.startswith("jit(")]
         if not parts:
             continue
-        head = parts[0]
-        # merge jvp/transpose wrappers
+        # parts = [scope, scope2, ..., primitive]; keep up to two scope
+        # levels so sub-scopes (e.g. raster.build_pairs/bin.sort) break out
+        head = parts[0] if len(parts) < 3 else "/".join(parts[:2])
         scope_by_op[op] = head
     return scope_by_op
 
