@@ -94,6 +94,9 @@ class TriangleSetup:
     attrs: jnp.ndarray  # (NATTR, T) f32 attr-plane rows (main view only)
     tile_bbox: jnp.ndarray  # (T, 4) i32: ty0, tx0, ty1, tx1 (inclusive)
     valid: jnp.ndarray  # (T,) bool
+    fine_y: jnp.ndarray  # (T, 2) i32 FINE (16px) row bbox [fy0, fy1]
+    #   inclusive, independent of bin_rows; drives the depth kernels'
+    #   per-group sub-block skipping (order_rows binning). (1, 0) invalid.
 
 
 @jax.named_scope("raster.geometry_setup")
@@ -134,26 +137,44 @@ def geometry_setup(
     edge/near-plane intersection points. Precision: plane evaluation error
     is ~f32_eps * |ndc| * width pixels (sub-1e-3 px for on-screen geometry;
     the old projected-space path was only better for geometry that needed
-    no clipping at all)."""
-    t_count = corners.shape[0]
-    flat = corners.reshape(-1, 3)
-    # full f32 matmuls: the TPU default (bf16 MXU passes) shifts projected
-    # coordinates by ~1e-3 relative, enough to flip edge tests per pixel
-    _dot = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    clip = _dot(flat, view_proj[:3, :3].T) + view_proj[:3, 3]
-    clip_w = _dot(flat, view_proj[3, :3]) + view_proj[3, 3]
-    clip = clip.reshape(t_count, 3, 3)
-    w = clip_w.reshape(t_count, 3)
+    no clipping at all).
 
-    # homogeneous viewport coordinates: X/W is the screen x of the vertex
-    sx_h = (clip[..., 0] * 0.5 + 0.5 * w) * width  # (T, 3)
-    sy_h = (clip[..., 1] * 0.5 + 0.5 * w) * height  # Vulkan y-down == screen
-    z_h = clip[..., 2]
+    Internals are STRUCTURE-OF-ARRAYS: every intermediate is a plain (T,)
+    vector (lanes-only), never a (T, 3)/(T, 9) array. The original
+    tiny-minor-dim formulation made XLA:TPU both compile pathologically
+    (61 s for this one function at bench sizes — layout/fusion over
+    (T, 3, 3) tensors whose minor dims are all padding) and run ~20x
+    slower than the same flop count on clean (T,) vectors (measured 5.5 s
+    compile / 0.39 ms run for the SoA core vs 61 s / ~8 ms vmapped)."""
+    t_count = corners.shape[0]
+    # split to per-vertex per-component (T,) lanes ONCE; everything after
+    # is pure lane math
+    cx = [corners[:, v, 0] for v in range(3)]
+    cy = [corners[:, v, 1] for v in range(3)]
+    cz = [corners[:, v, 2] for v in range(3)]
+    m = view_proj
+
+    def project(v):
+        """Homogeneous viewport coords: X/W is the vertex's screen x.
+        Explicit scalar-row FMAs == the HIGHEST-precision matmul this
+        replaced (f32 multiply-adds, no bf16 decomposition)."""
+        xc = m[0, 0] * cx[v] + m[0, 1] * cy[v] + m[0, 2] * cz[v] + m[0, 3]
+        yc = m[1, 0] * cx[v] + m[1, 1] * cy[v] + m[1, 2] * cz[v] + m[1, 3]
+        zc = m[2, 0] * cx[v] + m[2, 1] * cy[v] + m[2, 2] * cz[v] + m[2, 3]
+        wc = m[3, 0] * cx[v] + m[3, 1] * cy[v] + m[3, 2] * cz[v] + m[3, 3]
+        return ((xc * 0.5 + 0.5 * wc) * width,  # Vulkan y-down == screen
+                (yc * 0.5 + 0.5 * wc) * height, zc, wc)
+
+    proj = [project(v) for v in range(3)]
+    sx_h = [p[0] for p in proj]  # 3 x (T,)
+    sy_h = [p[1] for p in proj]
+    z_h = [p[2] for p in proj]
+    w = [p[3] for p in proj]
 
     def cross3(i, j):
-        a = sy_h[:, i] * w[:, j] - sy_h[:, j] * w[:, i]
-        b = w[:, i] * sx_h[:, j] - sx_h[:, i] * w[:, j]
-        c = sx_h[:, i] * sy_h[:, j] - sy_h[:, i] * sx_h[:, j]
+        a = sy_h[i] * w[j] - sy_h[j] * w[i]
+        b = w[i] * sx_h[j] - sx_h[i] * w[j]
+        c = sx_h[i] * sy_h[j] - sy_h[i] * sx_h[j]
         return a, b, c
 
     e0 = cross3(1, 2)
@@ -161,7 +182,7 @@ def geometry_setup(
     e2 = cross3(0, 1)
     # det = 2 * signed_screen_area * w0*w1*w2: the clip-space facing test
     # (correct sign even with vertices behind the eye)
-    det = e0[0] * sx_h[:, 0] + e0[1] * sy_h[:, 0] + e0[2] * w[:, 0]
+    det = e0[0] * sx_h[0] + e0[1] * sy_h[0] + e0[2] * w[0]
 
     if cull == "back":
         face_ok = det > 0
@@ -173,7 +194,8 @@ def geometry_setup(
     near_lim = max(near_w, 1e-9)
     # triangles entirely behind the near plane (w linear over the triangle)
     # are fully z-clipped; all-behind-eye is a subset of that
-    any_front = jnp.any(w >= near_lim, axis=1)
+    any_front = ((w[0] >= near_lim) | (w[1] >= near_lim)
+                 | (w[2] >= near_lim))
     valid = face_ok & tri_visible & any_front & (jnp.abs(det) > 1e-12)
 
     # orient edges so inside == all(E >= 0) for either winding (interior
@@ -191,7 +213,7 @@ def geometry_setup(
         qc = (q0 * e0[2] + q1 * e1[2] + q2 * e2[2]) * inv_absdet
         return qa, qb, qc
 
-    zp = plane(z_h[:, 0], z_h[:, 1], z_h[:, 2])
+    zp = plane(z_h[0], z_h[1], z_h[2])
     never = (jnp.zeros_like(det), jnp.zeros_like(det),
              jnp.full_like(det, -1.0))
     e0 = tuple(jnp.where(valid, c, n) for c, n in zip(e0, never))
@@ -237,40 +259,42 @@ def geometry_setup(
         # clamp w to tiny-positive: a behind-eye vertex (perspective caller
         # with clipping off) blows its coordinate up to +-1e12 and the
         # clipped bbox degrades to conservative full-screen, never flips
-        wd = jnp.maximum(w, 1e-9)
-        xs = sx_h / wd
-        ys = sy_h / wd
-        xmin = jnp.min(xs, axis=1)
-        xmax = jnp.max(xs, axis=1)
-        ymin = jnp.min(ys, axis=1)
-        ymax = jnp.max(ys, axis=1)
+        wd = [jnp.maximum(wv, 1e-9) for wv in w]
+        xs = [sx_h[v] / wd[v] for v in range(3)]
+        ys = [sy_h[v] / wd[v] for v in range(3)]
+        xmin = jnp.minimum(jnp.minimum(xs[0], xs[1]), xs[2])
+        xmax = jnp.maximum(jnp.maximum(xs[0], xs[1]), xs[2])
+        ymin = jnp.minimum(jnp.minimum(ys[0], ys[1]), ys[2])
+        ymax = jnp.maximum(jnp.maximum(ys[0], ys[1]), ys[2])
     else:
+        # incremental min/max over the 9 candidates, all (T,) lanes (the
+        # old (T, 9) stack was part of the tiny-minor-dim compile blowup)
         big = jnp.float32(1e9)
-        cand_x, cand_y, cand_ok = [], [], []
+        xmin = jnp.full_like(det, big)
+        xmax = jnp.full_like(det, -big)
+        ymin = jnp.full_like(det, big)
+        ymax = jnp.full_like(det, -big)
+
+        def fold(ok, px, py):
+            nonlocal xmin, xmax, ymin, ymax
+            xmin = jnp.minimum(xmin, jnp.where(ok, px, big))
+            xmax = jnp.maximum(xmax, jnp.where(ok, px, -big))
+            ymin = jnp.minimum(ymin, jnp.where(ok, py, big))
+            ymax = jnp.maximum(ymax, jnp.where(ok, py, -big))
+
         for v in range(3):
-            wd = jnp.maximum(w[:, v], near_lim)  # masked lanes stay finite
-            cand_x.append(sx_h[:, v] / wd)
-            cand_y.append(sy_h[:, v] / wd)
-            cand_ok.append(w[:, v] >= near_lim)
+            wd = jnp.maximum(w[v], near_lim)  # masked lanes stay finite
+            fold(w[v] >= near_lim, sx_h[v] / wd, sy_h[v] / wd)
         inv_near = 1.0 / near_lim
         for i, j in ((0, 1), (1, 2), (2, 0)):
-            denom = w[:, j] - w[:, i]
-            t = (near_lim - w[:, i]) / jnp.where(
+            denom = w[j] - w[i]
+            t = (near_lim - w[i]) / jnp.where(
                 jnp.abs(denom) > 1e-12, denom, 1.0)
-            crossing = ((w[:, i] - near_lim) * (w[:, j] - near_lim)
+            crossing = ((w[i] - near_lim) * (w[j] - near_lim)
                         < 0.0) & (jnp.abs(denom) > 1e-12)
-            cand_x.append((sx_h[:, i] + t * (sx_h[:, j] - sx_h[:, i]))
-                          * inv_near)
-            cand_y.append((sy_h[:, i] + t * (sy_h[:, j] - sy_h[:, i]))
-                          * inv_near)
-            cand_ok.append(crossing)
-        cx = jnp.stack(cand_x, axis=1)
-        cy = jnp.stack(cand_y, axis=1)
-        cok = jnp.stack(cand_ok, axis=1)
-        xmin = jnp.min(jnp.where(cok, cx, big), axis=1)
-        xmax = jnp.max(jnp.where(cok, cx, -big), axis=1)
-        ymin = jnp.min(jnp.where(cok, cy, big), axis=1)
-        ymax = jnp.max(jnp.where(cok, cy, -big), axis=1)
+            fold(crossing,
+                 (sx_h[i] + t * (sx_h[j] - sx_h[i])) * inv_near,
+                 (sy_h[i] + t * (sy_h[j] - sy_h[i])) * inv_near)
     tx0 = jnp.clip(jnp.floor(xmin / TILE_W), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor(xmax / TILE_W), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(ymin / bin_h), 0, nty - 1).astype(jnp.int32)
@@ -286,38 +310,48 @@ def geometry_setup(
         ],
         axis=1,
     )
+    # fine 16px-row bbox, independent of the bin grid: the depth kernels'
+    # per-group sub-block skip needs the true row extent, not the bin index
+    n_fy = height // TILE_H
+    fy0 = jnp.clip(jnp.floor(ymin / TILE_H), 0, n_fy - 1).astype(jnp.int32)
+    fy1 = jnp.clip(jnp.floor(ymax / TILE_H), 0, n_fy - 1).astype(jnp.int32)
+    fine_y = jnp.stack(
+        [jnp.where(valid, fy0, 1), jnp.where(valid, fy1, 0)], axis=1)
 
     if not with_attrs:
         attrs = jnp.zeros((NATTR, 0), jnp.float32)
         return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
-                             valid=valid)
+                             valid=valid, fine_y=fine_y)
 
     # perspective-correct attribute planes: homogeneous plane() takes RAW
     # per-vertex q and yields the screen-affine q/w function directly
     rows = []
 
-    def add_plane(q_corners):  # q_corners (T, 3)
-        rows.extend(plane(q_corners[:, 0], q_corners[:, 1], q_corners[:, 2]))
+    def add_plane(q0, q1, q2):  # per-vertex (T,) values
+        rows.extend(plane(q0, q1, q2))
 
-    add_plane(jnp.ones_like(w))  # rows 0-2: 1/w
-    add_plane(corner_uvs[..., 0])  # 3-5: u/w
-    add_plane(corner_uvs[..., 1])  # 6-8: v/w
+    ones = jnp.ones_like(det)
+    add_plane(ones, ones, ones)  # rows 0-2: 1/w
+    add_plane(corner_uvs[:, 0, 0], corner_uvs[:, 1, 0],
+              corner_uvs[:, 2, 0])  # 3-5: u/w
+    add_plane(corner_uvs[:, 0, 1], corner_uvs[:, 1, 1],
+              corner_uvs[:, 2, 1])  # 6-8: v/w
     for comp in range(3):  # 9-17: normal/w
-        add_plane(corner_normals[..., comp])
+        add_plane(corner_normals[:, 0, comp], corner_normals[:, 1, comp],
+                  corner_normals[:, 2, comp])
     for comp in range(3):  # 18-26: tangent/w
-        add_plane(corner_tangents[..., comp])
+        add_plane(corner_tangents[:, 0, comp], corner_tangents[:, 1, comp],
+                  corner_tangents[:, 2, comp])
     # 27-29: material id + tangent-frame handedness as a constant plane
     # (a=b=0, c = mat * 2 + (handedness < 0)); the kernel emits it packed
     # and the consumer reconstructs B = handedness * cross(N, T)
-    n0 = corner_normals[:, 0]
-    t0 = corner_tangents[:, 0]
-    b0 = corner_bitangents[:, 0]
-    cross_nt = jnp.stack([
-        n0[:, 1] * t0[:, 2] - n0[:, 2] * t0[:, 1],
-        n0[:, 2] * t0[:, 0] - n0[:, 0] * t0[:, 2],
-        n0[:, 0] * t0[:, 1] - n0[:, 1] * t0[:, 0],
-    ], axis=1)
-    hand_neg = jnp.sum(cross_nt * b0, axis=1) < 0.0
+    n0 = [corner_normals[:, 0, c] for c in range(3)]
+    t0 = [corner_tangents[:, 0, c] for c in range(3)]
+    b0 = [corner_bitangents[:, 0, c] for c in range(3)]
+    hand_neg = (
+        (n0[1] * t0[2] - n0[2] * t0[1]) * b0[0]
+        + (n0[2] * t0[0] - n0[0] * t0[2]) * b0[1]
+        + (n0[0] * t0[1] - n0[1] * t0[0]) * b0[2]) < 0.0
     rows.append(jnp.zeros_like(det))
     rows.append(jnp.zeros_like(det))
     rows.append(tri_material.astype(jnp.float32) * 2.0
@@ -326,20 +360,23 @@ def geometry_setup(
     if prev_corners is not None:
         # 30-38: previous-frame clip planes — dynamic scenes only (static
         # motion vectors reproject the depth-derived world position instead)
-        prev_flat = prev_corners.reshape(-1, 3)
-        prev_clip = _dot(prev_flat, prev_view_proj[:3, :3].T) \
-            + prev_view_proj[:3, 3]
-        prev_w = _dot(prev_flat, prev_view_proj[3, :3]) \
-            + prev_view_proj[3, 3]
-        prev_clip = prev_clip.reshape(t_count, 3, 3)
-        prev_w = prev_w.reshape(t_count, 3)
-        add_plane(prev_clip[..., 0])
-        add_plane(prev_clip[..., 1])
-        add_plane(prev_w)
+        pm = prev_view_proj
+        px = [prev_corners[:, v, 0] for v in range(3)]
+        py = [prev_corners[:, v, 1] for v in range(3)]
+        pz = [prev_corners[:, v, 2] for v in range(3)]
+
+        def prev_row(r):
+            return [pm[r, 0] * px[v] + pm[r, 1] * py[v]
+                    + pm[r, 2] * pz[v] + pm[r, 3] for v in range(3)]
+
+        pcx, pcy, pcw = prev_row(0), prev_row(1), prev_row(3)
+        add_plane(pcx[0], pcx[1], pcx[2])
+        add_plane(pcy[0], pcy[1], pcy[2])
+        add_plane(pcw[0], pcw[1], pcw[2])
 
     attrs = jnp.stack(rows, axis=0).astype(jnp.float32)  # (NATTR[_PREV], T)
     return TriangleSetup(edges=edges, attrs=attrs, tile_bbox=tile_bbox,
-                         valid=valid)
+                         valid=valid, fine_y=fine_y)
 
 
 # --------------------------------------------------------------------------
@@ -361,7 +398,9 @@ class PairLists:
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 pairs_per_tri: float = 4.0, n_views: int = 1,
                 tile_cap: int | None = None,
-                pair_budget: int | None = None) -> PairLists:
+                pair_budget: int | None = None,
+                bin_rows: int = 1,
+                order_rows: bool = False) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
     EXACT prefix-sum emission: each live triangle owns exactly span_y *
@@ -397,6 +436,14 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     were offset into each view's tile-row band. The sort key then packs the
     VIEW-LOCAL triangle index (a triangle's tiles never cross views), which
     keeps the key in int32 at atlas sizes a global index would overflow.
+
+    order_rows (depth-only consumers): the key additionally packs each
+    pair's FIRST covered 16px sub-row within its bin (from setup.fine_y),
+    so a bin's segment comes out y-sorted and the raster kernel's
+    per-group [smin, smax] sub-block skip is tight — tiny triangles stop
+    paying the whole (bin_rows * 16 x 128) bin. ONLY valid when pair order
+    within a tile is irrelevant (pure depth max); the winner-tracking
+    kernels need tri-ordered ties to match the reference rasterizer.
     """
     del pairs_per_tri
     t_count = setup.valid.shape[0]
@@ -404,15 +451,22 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     assert t_count % n_views == 0 and n_tiles % n_views == 0
     tpv = t_count // n_views  # triangles per view
     tiles_per_view = n_tiles // n_views
-    assert (n_tiles + 1) * (tpv + 1) < 2 ** 31, "packed key overflow"
+    key_rows = bin_rows if order_rows else 1  # sub-row factor in the key
+    assert (n_tiles * key_rows + 1) * (tpv + 1) < 2 ** 31, \
+        "packed key overflow"
     assert n_tiles_y <= 512 and n_tiles_x <= 128, "bbox packing overflow"
+    assert not order_rows or bin_rows <= 8, "rel_fy0 packs in 3 bits"
     ty0, tx0, ty1, tx1 = (setup.tile_bbox[:, i] for i in range(4))
     span_y = jnp.where(setup.valid, ty1 - ty0 + 1, 0)
     span_x = jnp.where(setup.valid, tx1 - tx0 + 1, 0)
     span = span_y * span_x
 
     if pair_budget is None:
-        pair_budget = t_count + 8 * n_tiles
+        # headroom term scales with the PRE-BIN tile grid (8 * bin_rows *
+        # n_bins == 8 * n_fine_tiles): binning shrinks the bin count but
+        # never the per-triangle emission floor, so the budget must not
+        # shrink with it (ADVICE r2: dense scenes were near the cliff)
+        pair_budget = t_count + 8 * n_tiles * bin_rows
     budget = max(GROUP, (pair_budget + GROUP - 1) // GROUP * GROUP)
 
     # exclusive prefix sum: triangle t owns stream slots
@@ -424,33 +478,47 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
         cum_ex = cum - span
         overflow = jnp.maximum(total - budget, 0)
 
-    # scatter each live run's start, forward-fill with cummax: cum_ex is
-    # nondecreasing in t, so the filled value at slot j is the LAST
-    # triangle whose run starts at or before j == the slot's owner
-    with jax.named_scope("bin.scatter_fill"):
-        start = jnp.where(span > 0, cum_ex, budget)  # park empty runs
-        pay = jnp.zeros((budget + 1,), jnp.int32).at[
-            jnp.minimum(start, budget)].max(
-            jnp.where(span > 0, jnp.arange(t_count, dtype=jnp.int32) + 1, 0))
-        tri_per_slot = jax.lax.cummax(pay[:budget]) - 1  # -1 before 1st run
-        tri_c = jnp.clip(tri_per_slot, 0, t_count - 1)
+    # EXACT slot ownership: owner(j) = #{t : cum[t] <= j} — one bincount
+    # scatter-add at the (sorted) run ends + one cumsum. Empty runs have
+    # cum == cum_ex and never own a slot; k = j - cum_ex[owner] lands in
+    # [0, span) by construction, so no fill-through guard and no span_y
+    # in the packed geometry (the previous scatter-max + cummax + k <
+    # span_y*span_x guard silently dropped bins whenever span_y overran
+    # its bit field — caught at 5 bits by the shadow-bench checksum, and
+    # latent at 8 bits for views taller than 255 bins).
+    with jax.named_scope("bin.owner"):
+        counts = jnp.zeros((budget + 1,), jnp.int32).at[
+            jnp.minimum(cum, budget)].add(1)
+        owner = jnp.cumsum(counts[:budget])
+        tri_c = jnp.minimum(owner, t_count - 1)
 
     # per-slot geometry: ONE packed-i32 gather of
-    # ty0[9b] | tx0[7b] | span_x[7b] | span_y[8b]  (span_y <= 255: views
-    # are at most 128 tile rows — 2048px shadow / 16; asserted above)
+    # ty0[9b] | tx0[7b] | span_x[7b] | rel_fy0[3b]
     with jax.named_scope("bin.decode"):
-        geom_packed = (((ty0 * 128 + tx0) * 128 + span_x) * 256
-                       + jnp.minimum(span_y, 255))
-        # ONE (T+?, 2)-row gather for geometry + run start (two separate
-        # (budget,) gathers measured ~2x the cost of one 2-wide row take)
-        pair_tbl = jnp.stack([geom_packed, cum_ex], axis=1)  # (T, 2)
-        picked = pair_tbl[tri_c]  # (budget, 2)
-        g = picked[:, 0]
-        k = jnp.arange(budget, dtype=jnp.int32) - picked[:, 1]
-        sy = g & 255
-        sx = jnp.maximum((g >> 8) & 127, 1)
-        x0 = (g >> 15) & 127
-        y0 = g >> 22
+        if order_rows:
+            rel_fy0 = jnp.clip(setup.fine_y[:, 0] - ty0 * bin_rows,
+                               0, bin_rows - 1)
+        else:
+            rel_fy0 = 0
+        geom_packed = ((ty0 * 128 + tx0) * 128 + span_x) * 8 + rel_fy0
+        # two plain (budget,) gathers from (T,) tables: a 2-wide row-gather
+        # table looked cheaper once, but (N, 2) arrays are ~98% tile
+        # padding on TPU — every op that touches them pays the layout tax
+        # at both compile and run time (the geometry SoA lesson)
+        g = geom_packed[tri_c]
+        # k = slot index within the owner's run. Runs start exactly where
+        # `owner` increases, so the run start is a cummax over positions of
+        # owner-change — dense vector ops instead of a second (budget,)
+        # gather of cum_ex (element gathers are ~1/cycle on TPU; at bench
+        # budgets the cum_ex gather alone was ~14 ms/frame)
+        jj = jnp.arange(budget, dtype=jnp.int32)
+        owner_prev = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), owner[:-1]])
+        k = jj - jax.lax.cummax(jnp.where(owner != owner_prev, jj, 0))
+        rel0 = g & 7
+        sx = jnp.maximum((g >> 3) & 127, 1)
+        x0 = (g >> 10) & 127
+        y0 = g >> 17
         # k // sx in f32: exact for 0 <= k < 2^23 (correctly-rounded
         # division of dy*sx + r by sx cannot reach dy + 1: the gap 1/sx
         # exceeds the ulp of k/sx for k below 2^23). Integer div lowers to
@@ -460,23 +528,25 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                        / sx.astype(jnp.float32)).astype(jnp.int32)
         dx = kc - dy * sx
         tile = (y0 + dy) * n_tiles_x + x0 + dx
-        tri_local = tri_c % tpv
+        tri_local = tri_c % tpv if n_views > 1 else tri_c
 
-        sentinel = jnp.int32(n_tiles * (tpv + 1))
-        # k < span guards the cummax fill-through past runs whose start fell
-        # beyond the budget (their slots belong to an earlier triangle with
-        # exhausted k); j < total guards the stream tail
-        slot_live = ((tri_per_slot >= 0)
-                     & (jnp.arange(budget, dtype=jnp.int32) < total)
-                     & (k < sy * sx))
-        key = jnp.where(slot_live, tile * (tpv + 1) + tri_local, sentinel)
+        sentinel = jnp.int32(n_tiles * key_rows * (tpv + 1))
+        slot_live = jnp.arange(budget, dtype=jnp.int32) < total
+        if order_rows:
+            # first covered sub-row within THIS bin: nonzero only in the
+            # triangle's first bin row (later bins start at their top)
+            kymin = jnp.maximum(rel0 - dy * bin_rows, 0)
+            key_val = (tile * bin_rows + kymin) * (tpv + 1) + tri_local
+        else:
+            key_val = tile * (tpv + 1) + tri_local
+        key = jnp.where(slot_live, key_val, sentinel)
     with jax.named_scope("bin.sort"):
         keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
     # t_count, the degenerate padding row)
     with jax.named_scope("bin.segments"):
-        tile_s = keys_sorted // (tpv + 1)
+        tile_s = keys_sorted // (key_rows * (tpv + 1))
         tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
         # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can
         # read up to GROUP-1 entries past the last tile's segment end
@@ -486,9 +556,10 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
 
         tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
         raw_start = jnp.searchsorted(
-            keys_sorted, tile_ids * (tpv + 1)).astype(jnp.int32)
+            keys_sorted, tile_ids * key_rows * (tpv + 1)).astype(jnp.int32)
         raw_end = jnp.searchsorted(
-            keys_sorted, (tile_ids + 1) * (tpv + 1)).astype(jnp.int32)
+            keys_sorted,
+            (tile_ids + 1) * key_rows * (tpv + 1)).astype(jnp.int32)
         n_real = raw_end - raw_start
     # cap leaves room for the group-aligned lead-in masked by the kernel.
     # The default bound comes from the WINNER-tracking kernels (the slot
@@ -515,7 +586,7 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
 
 @jax.named_scope("raster.gather_pair_setups")
 def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
-                       with_attrs: bool):
+                       with_attrs: bool, row_extents: bool = False):
     """Duplicate per-triangle setups into pair order (contiguous-row takes).
 
     Returns (pair_edges (16, P) f32, pair_attrs (NATTR, P) f32 | None).
@@ -524,6 +595,12 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     and lane offsets (tile_start multiples of GROUP=128) satisfy the DMA
     engine's tile-alignment rules, and the kernel needs no shape cast
     (Mosaic rejects lane-crossing reshapes, the round-1 blocker).
+
+    row_extents: stuff the otherwise-zero pad rows of planes 0 and 1
+    (rows 3 and 7) with the triangle's fine 16px-row bbox [fy0, fy1] —
+    the depth kernels' per-group sub-block skip reads them. Harmless for
+    plane evaluation (the pixel-basis 4th row is zero), but only the
+    depth-only consumers request it.
     """
     t_count = setup.valid.shape[0]
     n_planes = setup.edges.shape[1]  # 4, or 8 with the alpha extension
@@ -534,7 +611,17 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     edges_pad = jnp.concatenate([setup.edges, never], axis=2)
     # (T+1, n_rows) rows [plane-major: a, b, c, pad] for the copy-speed take
     e = edges_pad.transpose(2, 1, 0)  # (T+1, n_planes, 3 coeffs)
-    e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
+    if row_extents:
+        # pad coeffs of planes 0/1 carry [fy0, fy1]; degenerate entry gets
+        # the empty range (1, 0) so dead groups skip every sub-block
+        fy = jnp.concatenate([
+            setup.fine_y.astype(jnp.float32),
+            jnp.asarray([[1.0, 0.0]], jnp.float32)], axis=0)  # (T+1, 2)
+        pad_col = jnp.zeros((t_count + 1, n_planes, 1), jnp.float32)
+        pad_col = pad_col.at[:, 0, 0].set(fy[:, 0]).at[:, 1, 0].set(fy[:, 1])
+        e = jnp.concatenate([e, pad_col], axis=2)
+    else:
+        e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
     edges_rows = e.reshape(t_count + 1, n_rows)
 
     if not with_attrs:
@@ -596,7 +683,8 @@ def _pixel_basis(tile_y, tile_x):
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
-                        alpha_scr=None, sub: int = 1):
+                        alpha_scr=None, sub: int = 1,
+                        row_skip: bool = False):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max.
 
@@ -616,7 +704,14 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     masks_ref (VMEM (MAX_ALPHA_MATERIALS, 128) i32) + alpha_scr (VMEM
     (GROUP, PX) i32) turn on the alpha-test path: requires the 8-plane edge
     table (see module docstring); groups whose pairs are all opaque skip
-    the UV/mask work via a scalar pl.when."""
+    the UV/mask work via a scalar pl.when.
+
+    row_skip (depth-only): pair_edges rows 3/7 carry each pair's fine
+    16px-row bbox (gather_pair_setups row_extents=True) and the pair
+    stream is y-sorted within each bin (build_pairs order_rows=True);
+    each group then evaluates ONLY the sub-blocks inside its live pairs'
+    [min fy0, max fy1] — the edge/depth matmuls for a y-coherent group of
+    tiny triangles run on 1-2 of the bin's `sub` blocks instead of all."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
@@ -628,6 +723,11 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
     bases = [_pixel_basis(ty * sub + s, tx) for s in range(sub)]
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    # identity used to transpose per-pair lane rows into sublane columns on
+    # the MXU (one K=128 pass per group); loop-invariant
+    gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
+    ident = (gi == gj).astype(jnp.float32)
 
     def group_dma(slot, g):
         return pltpu.make_async_copy(
@@ -649,6 +749,16 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
         group_dma(slot, g).wait()
         mat = edge_buf[slot]  # (n_rows, GROUP): planes x [a, b, c, pad]
+        # ALL plane coefficients into sublane space in one K=128 MXU pass:
+        # cols[:, 4p + k] = coefficient k of plane p for the sublane's pair.
+        # The per-plane evaluation below is then plain VPU broadcast-FMAs —
+        # the former per-(plane, sub-block) K=4 matmuls ran the MXU at
+        # 4/128 utilization and dominated the kernel (~8k of ~13k cycles
+        # per block at bench sizes).
+        cols = jax.lax.dot_general(
+            ident, mat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # (GROUP, n_rows)
 
         # mask rows outside this tile's [start, start+count) segment
         row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
@@ -660,15 +770,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             # (plane 7's c coeff) is the per-pair slot in LANES
             slot_row = mat[30:31]  # (1, GROUP) f32
             has_alpha = jnp.max(slot_row) > 0.5
-            # per-pair slot into SUBLANE space via identity matmul
-            # (a (1, G) -> (G, 1) transpose Mosaic handles on the MXU)
-            gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-            gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
-            ident = (gi == gj).astype(jnp.float32)
-            slot_col = jax.lax.dot_general(
-                ident, slot_row, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (GROUP, 1)
+            slot_col = cols[:, 30:31]  # (GROUP, 1)
             # per-pair mask row table (GROUP, 128 words)
             table0 = jnp.full((GROUP, 128), -1, jnp.int32)  # opaque
             for m in range(masks_ref.shape[0]):
@@ -676,16 +778,31 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                     jnp.abs(slot_col - (m + 1)) < 0.5,
                     masks_ref[m:m + 1], table0)
 
-        for s in range(sub):
-            basis = bases[s]
+        if row_skip:
+            # live-lane mask on the PAIR (lane) axis; rows 3/7 carry each
+            # pair's fine-row bbox (see docstring). Dead groups (no live
+            # lanes) get smin > smax and skip everything.
+            lanei = (jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
+                     + g * GROUP)
+            lane_live = (lanei >= lead) & (lanei < lead + count)
+            fy_min = jnp.min(jnp.where(lane_live, mat[3:4],
+                                       jnp.float32(1e9)))
+            fy_max = jnp.max(jnp.where(lane_live, mat[7:8],
+                                       jnp.float32(-1e9)))
+            bin_row0 = (ty * sub).astype(jnp.float32)
 
-            # per plane p: (4, GROUP) coeffs x (4, PX) basis -> (GROUP, PX)
+        def eval_sub(s):
+            basis = bases[s]
+            x_row = basis[0:1]  # (1, PX)
+            y_row = basis[1:2]
+
+            # per plane p: a*x + b*y + c as (GROUP, 1) x (1, PX) broadcast
+            # FMAs on the VPU (coefficients pre-transposed into `cols`)
             def plane_eval(p):
-                return jax.lax.dot_general(
-                    mat[4 * p:4 * p + 4], basis, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                a = cols[:, 4 * p:4 * p + 1]
+                b = cols[:, 4 * p + 1:4 * p + 2]
+                c = cols[:, 4 * p + 2:4 * p + 3]
+                return a * x_row + (b * y_row + c)
 
             e0 = plane_eval(0)
             e1 = plane_eval(1)
@@ -744,6 +861,16 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                 cand = jnp.where(cov, zi, 0)
             group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
             acc_ref[s:s + 1] = jnp.maximum(acc_ref[s:s + 1], group_max)
+
+        for s in range(sub):
+            if row_skip:
+                fy_row = bin_row0 + jnp.float32(s)
+
+                @pl.when((fy_min <= fy_row) & (fy_row <= fy_max))
+                def _(s=s):
+                    eval_sub(s)
+            else:
+                eval_sub(s)
         return 0
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
@@ -763,30 +890,35 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
 
 def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
-                  acc_ref, edge_buf, sems, *, sub=1):
+                  acc_ref, edge_buf, sems, *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
-                        depth_clamp=True, sub=sub)
+                        depth_clamp=True, sub=sub, row_skip=row_skip)
 
 
 def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
                         depth_ref, acc_ref, edge_buf, sems, alpha_scr,
-                        *, sub=1):
+                        *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
-                        alpha_scr=alpha_scr, sub=sub)
+                        alpha_scr=alpha_scr, sub=sub, row_skip=row_skip)
 
 
 @jax.named_scope("raster.depth")
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
                     n_tiles_x: int, interpret: bool = False,
-                    alpha_masks=None, sub: int = 1):
+                    alpha_masks=None, sub: int = 1,
+                    row_skip: bool = False):
     """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity,
     including its alpha clip when alpha_masks is given).
 
     n_tiles_y counts BINS of (sub * TILE_H) rows — pairs must come from a
     build_pairs run on the same bin grid.
+
+    row_skip requires pairs from build_pairs(order_rows=True) and
+    pair_edges from gather_pair_setups(row_extents=True) — see
+    _depth_resolve_loop.
 
     Returns depth (H, W) f32 reverse-Z (0 = far / no coverage).
     """
@@ -820,7 +952,8 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     h = n_tiles_y * sub * TILE_H
     w = n_tiles_x * TILE_W
     kern = functools.partial(
-        _depth_kernel_alpha if alpha else _depth_kernel, sub=sub)
+        _depth_kernel_alpha if alpha else _depth_kernel, sub=sub,
+        row_skip=row_skip)
     (depth,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -833,11 +966,12 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
 def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=None, alpha_scr=None, sub=1):
+                    masks_ref=None, alpha_scr=None, sub=1, row_skip=False):
     """Full visibility + attribute resolve for the main view."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, track_winner=True,
-                        masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub)
+                        masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub,
+                        row_skip=row_skip)
 
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -957,17 +1091,19 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
 def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
                           masks_ref, depth_ref, vis_ref, gbuf_ref,
                           acc_ref, coeff_ref, edge_buf, attr_buf, sems,
-                          attr_sem, alpha_scr, sub=1):
+                          attr_sem, alpha_scr, sub=1, row_skip=False):
     _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub)
+                    masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub,
+                    row_skip=row_skip)
 
 
 @jax.named_scope("raster.gbuffer")
 def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
                       n_tiles_y: int, n_tiles_x: int, interpret: bool = False,
-                      alpha_masks=None, sub: int = 1):
+                      alpha_masks=None, sub: int = 1,
+                      row_skip: bool = False):
     """Main-view rasterization producing depth + visibility + G-buffer.
 
     G-buffer channels: uv (0-1), uv screen derivatives (2-5), world normal
@@ -1023,7 +1159,8 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
     w = n_tiles_x * TILE_W
     depth, vis, gbuf = pl.pallas_call(
         functools.partial(
-            _gbuffer_kernel_alpha if alpha else _gbuffer_kernel, sub=sub),
+            _gbuffer_kernel_alpha if alpha else _gbuffer_kernel, sub=sub,
+            row_skip=row_skip),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),

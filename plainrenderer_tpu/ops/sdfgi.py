@@ -182,19 +182,42 @@ def _trace_kernel(
     wy0 = (by0 * BRICK).astype(jnp.float32)
     wz0 = (bz0 * BRICK).astype(jnp.float32)
 
-    def window_coords(px, py, pz):
-        gx = jnp.clip((px - ox) / voxel - wx0, 0.0, WINDOW - 1.0)
-        gy = jnp.clip((py - oy) / voxel - wy0, 0.0, WINDOW - 1.0)
-        gz = jnp.clip((pz - oz) / voxel - wz0, 0.0, WINDOW - 1.0)
+    def window_coords(px, py, pz, with_inside=False):
+        gxr = (px - ox) / voxel - wx0
+        gyr = (py - oy) / voxel - wy0
+        gzr = (pz - oz) / voxel - wz0
+        gx = jnp.clip(gxr, 0.0, WINDOW - 1.0)
+        gy = jnp.clip(gyr, 0.0, WINDOW - 1.0)
+        gz = jnp.clip(gzr, 0.0, WINDOW - 1.0)
         ix = gx.astype(jnp.int32)
         iy = gy.astype(jnp.int32)
         iz = gz.astype(jnp.int32)
         brick = ((iz >> 4) << 2) | ((iy >> 4) << 1) | (ix >> 4)
+        if with_inside:
+            # strictly inside the window (half-voxel slack): a CLAMPED
+            # sample reads a boundary voxel the ray is not actually at —
+            # treating its distance as real produced whole-tile bright
+            # garbage (bogus sun-lit 'hits' on window walls) whenever a
+            # tile's mean-position window missed part of its geometry
+            # (the round-2 gallery streak; flips with TAA jitter because
+            # the tile mean shifts). Hits are gated on `inside`; `excess`
+            # (voxels, Chebyshev clamp overshoot) lets the march keep
+            # progressing while outside — rays that merely poke out (e.g.
+            # the 0.2 m normal offset at a volume border) re-enter instead
+            # of being dumped to the coarse fallback.
+            inside = ((gxr >= -0.5) & (gxr <= WINDOW - 0.5)
+                      & (gyr >= -0.5) & (gyr <= WINDOW - 0.5)
+                      & (gzr >= -0.5) & (gzr <= WINDOW - 0.5))
+            excess = jnp.maximum(jnp.maximum(jnp.abs(gxr - gx),
+                                             jnp.abs(gyr - gy)),
+                                 jnp.abs(gzr - gz))
+            return brick, ix & 15, iy & 15, iz & 15, inside, excess
         return brick, ix & 15, iy & 15, iz & 15
 
-    def sample_sdf(px, py, pz):
+    def sample_sdf(px, py, pz, with_inside=False):
         """Point-sample the brick window at world position (clamped)."""
-        brick, lx, ly, lz = window_coords(px, py, pz)
+        wc = window_coords(px, py, pz, with_inside=with_inside)
+        brick, lx, ly, lz = wc[:4]
         flat = brick * 1024 + (lz * BRICK + ly) * 4 + (lx >> 2)
         word = gatherlib.gather_rows_128(sdf_table, flat)
         b = lx & 3
@@ -203,6 +226,8 @@ def _trace_kernel(
             jnp.where(b == 1, _unpack_s8(word, 1),
                       jnp.where(b == 2, _unpack_s8(word, 2),
                                 _unpack_s8(word, 3))))
+        if with_inside:
+            return v * voxel, wc[4], wc[5]
         return v * voxel
 
     wx, wy, wz = wpos_ref[0], wpos_ref[1], wpos_ref[2]
@@ -219,30 +244,43 @@ def _trace_kernel(
     # masks carried as f32 0/1 — Mosaic cannot legalize i1 vectors in
     # scf.while carries ("failed to legalize scf.yield")
     state0 = (jnp.int32(0), zero, zero, zero, zero, zero,
-              valid.astype(jnp.float32))
+              valid.astype(jnp.float32), zero)
 
     # early-exit march: a fixed unrolled loop pays all `steps` iterations on
     # every tile; most tiles converge in far fewer (hits are near, sky tiles
     # are skipped wholesale), so the while_loop exits as soon as no ray in
     # the tile is alive
     def cond(state):
-        i, _, _, _, _, _, alive_f = state
+        i, _, _, _, _, _, alive_f, _ = state
         return (i < steps) & (jnp.max(alive_f) > 0.0)
 
     def body(state):
-        i, t, d_prev, d_hit, dprev_hit, hit_f, alive_f = state
-        d = sample_sdf(px + dx * t, py + dy * t, pz + dz * t)
-        new_hit = (alive_f > 0.0) & (d < threshold)
+        i, t, d_prev, d_hit, dprev_hit, hit_f, alive_f, exited_f = state
+        d, inside, excess = sample_sdf(px + dx * t, py + dy * t, pz + dz * t,
+                                       with_inside=True)
+        # hits only count INSIDE the window (the clamped boundary voxel is
+        # not where the ray is); outside rays keep marching — the step
+        # covers the clamp excess so they make progress back toward (or
+        # past) the window — and exit to the coarse fallback only once a
+        # fine hit is provably out of reach: the window is >= excess away,
+        # so t + excess past the influence radius means no re-entry can
+        # produce an in-influence hit
+        new_hit = (alive_f > 0.0) & inside & (d < threshold)
+        exit_now = ((alive_f > 0.0) & ~inside
+                    & (t + excess * voxel >= influence_eff))
         d_hit = jnp.where(new_hit, d, d_hit)
         dprev_hit = jnp.where(new_hit, d_prev, dprev_hit)
         hit_f = jnp.maximum(hit_f, new_hit.astype(jnp.float32))
-        alive = (alive_f > 0.0) & ~new_hit & (t < influence_eff)
-        step_len = jnp.maximum(jnp.abs(d), voxel * 0.5)
+        exited_f = jnp.maximum(exited_f, exit_now.astype(jnp.float32))
+        alive = ((alive_f > 0.0) & ~new_hit & ~exit_now
+                 & (t < influence_eff))
+        step_len = jnp.maximum(jnp.maximum(jnp.abs(d), excess * voxel),
+                               voxel * 0.5)
         t = jnp.where(alive, t + step_len, t)
         return (i + 1, t, d, d_hit, dprev_hit, hit_f,
-                alive.astype(jnp.float32))
+                alive.astype(jnp.float32), exited_f)
 
-    _, t, d_prev, d_hit, dprev_hit, hit_f, _ = jax.lax.while_loop(
+    _, t, d_prev, d_hit, dprev_hit, hit_f, _, exited_f = jax.lax.while_loop(
         cond, body, state0)
     hit = hit_f > 0.0
 
@@ -257,11 +295,13 @@ def _trace_kernel(
     hy = py + dy * t_hit
     hz = pz + dz * t_hit
 
-    # rays that ran out of the window-bounded fine influence without a hit:
-    # the window-approximation escapes (VERDICT r1 #8) — reported in
-    # out_ref[6] and, with the coarse fallback, marched on below
+    # rays that ran out of the window-bounded fine influence OR left the
+    # window without a hit: the window-approximation escapes (VERDICT r1
+    # #8) — reported in out_ref[6] and, with the coarse fallback, marched
+    # on below
     escaped_f = (valid & ~hit
-                 & (t >= influence_eff - voxel * 0.25)).astype(jnp.float32)
+                 & ((t >= influence_eff - voxel * 0.25)
+                    | (exited_f > 0.0))).astype(jnp.float32)
 
     # albedo at hit (packed rgb8)
     abrick, alx, aly, alz = window_coords(hx, hy, hz)

@@ -168,7 +168,12 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
     geometry stage, one pair sort, one setup gather, one Pallas launch (the
     per-cascade version paid each fixed cost 3x; SURVEY 3.2 pass 8 renders
     cascades as separate drawcall batches because Vulkan framebuffers force
-    it — nothing forces it here)."""
+    it — nothing forces it here).
+
+    Casters are FRONT-face culled, matching the reference's shadow pass
+    rasterization state (RenderFrontend.cpp:1576 CullMode::Front) — halves
+    the caster pair stream for closed geometry and biases acne off lit
+    surfaces."""
     from ..scene.frustum import expand_object_mask, visible_objects_clipspace
 
     sub = shadow_bin_sub(sres)
@@ -185,7 +190,7 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
             g_corners, scene["corner_uvs"],
             g_normals, g_tangents,
             g_bitangents, scene["tri_material"],
-            vis, m, m, sres, sres, cull="none", with_attrs=False,
+            vis, m, m, sres, sres, cull="front", with_attrs=False,
             tri_alpha_slot=alpha_slots, bin_rows=sub)
     )(cas_mats, cas_visible)
     # shift each cascade's edge planes into its atlas row band:
@@ -198,11 +203,17 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
     offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
     bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
     bbox_a = bbox_a.at[..., 2].add(offs)
+    # offset each view's fine 16px rows into its atlas band (both columns;
+    # invalid entries stay empty ranges under a uniform shift)
+    fine_offs = (jnp.arange(n_cas, dtype=jnp.int32)
+                 * (sres // raster.TILE_H)).reshape(n_cas, 1, 1)
+    fine_a = s_setup.fine_y + fine_offs
     return raster.TriangleSetup(
         edges=edges_a,
         attrs=jnp.zeros((raster.NATTR, 0), jnp.float32),
         tile_bbox=bbox_a.reshape(-1, 4),
-        valid=s_setup.valid.reshape(-1))
+        valid=s_setup.valid.reshape(-1),
+        fine_y=fine_a.reshape(-1, 2))
 
 
 @functools.partial(
@@ -232,6 +243,17 @@ def render_frame(
     pw, ph = raster.pad_resolution(width, height)
     m_sub = main_bin_sub(ph)
     nty, ntx = ph // (raster.TILE_H * m_sub), pw // raster.TILE_W
+
+    # camera-path mode: leaves with a leading path dimension are indexed by
+    # the frame counter ON DEVICE. Callers with a precomputed flight path
+    # (bench, batch renders) upload it ONCE and stop paying per-frame
+    # host->device transfers (~45 ms/frame measured over the tunneled
+    # device in round 2 — a fifth of the whole frame).
+    if cam["position"].ndim == 2:
+        path_idx = state.frame_index % cam["position"].shape[0]
+        cam = {k: (v[path_idx] if getattr(v, "ndim", 0) >= 1
+                   and v.shape[0] == cam["position"].shape[0] else v)
+               for k, v in cam.items()}
 
     # directionToVector already points TOWARDS the sun (y-down world: zenith
     # is (0,-1,0)); the reference uses it unnegated everywhere
@@ -345,11 +367,24 @@ def render_frame(
         prev_corners=prev_g_corners,
         bin_rows=m_sub,
     )
-    pairs = raster.build_pairs(setup, nty, ntx)
-    pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True)
+    # order_rows + row_skip: y-sorted pair segments let the kernel skip
+    # sub-blocks outside each group's row extent. Winner ties between
+    # EXACTLY-equal quantized depths resolve by stream position (now
+    # y-order, not triangle order) — coplanar-only, same class of tie the
+    # slot packing already made arbitrary.
+    # every binning stage (owner fill, decode, sort, setup gather) is
+    # O(pair_budget), so the budget is sized to the CULLED stream, not
+    # t_count: back-face + frustum culling leaves well under half the
+    # triangles live, and per-frame overflow counters (asserted zero in
+    # tests, shown in the overlay) catch any scene that outgrows it
+    m_budget = t_count // 2 + 8 * nty * m_sub * ntx
+    pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
+                               order_rows=True, pair_budget=m_budget)
+    pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True,
+                                                       row_extents=True)
     depth, vis, gbuf = raster.rasterize_gbuffer(
         pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret,
-        alpha_masks=alpha_masks, sub=m_sub)
+        alpha_masks=alpha_masks, sub=m_sub, row_skip=True)
     valid = vis >= 0
 
     # --- shading inputs ---
@@ -452,13 +487,22 @@ def render_frame(
             scene, g_corners, g_normals, g_tangents, g_bitangents,
             obj_bb_min, obj_bb_max, cascade_mats, n_cas, sres,
             alpha_slots, t_count)
+        # atlas t_count is n_cas * T; front-face culling plus per-cascade
+        # frustum culling leaves ~20% live at bench framing (175k of 878k
+        # slots measured) — budget a third, guarded by the overflow counter
+        s_budget = (n_cas * t_count) // 3 \
+            + 8 * n_cas * s_nty * s_sub * s_ntx
         s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
-                                     n_views=n_cas, tile_cap=1 << 15)
+                                     n_views=n_cas, tile_cap=1 << 15,
+                                     bin_rows=s_sub, order_rows=True,
+                                     pair_budget=s_budget)
         shadow_overflow = s_pairs.overflow
-        s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False)
+        s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False,
+                                               row_extents=True)
         atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
                                        s_ntx, interpret=interpret,
-                                       alpha_masks=alpha_masks, sub=s_sub)
+                                       alpha_masks=alpha_masks, sub=s_sub,
+                                       row_skip=True)
         shadow_maps = atlas.reshape(n_cas, sres, sres)
         if n_cas < shadow.MAX_CASCADES:
             shadow_maps = jnp.concatenate([

@@ -177,6 +177,102 @@ def _memory_stats_mb() -> float:
         return 0.0
 
 
+def interactive_loop(app: "App", out_dir: Path, overlay: bool,
+                     overlay_scale: int, max_frames: int = 0):
+    """Drive the app from stdin — the InputManager/ImGui-panel analog
+    (Runtime/InputManager.cpp; settings panel RenderFrontend.cpp:1829-2011).
+
+    A reader thread turns stdin lines into input/settings events consumed
+    by the frame loop; frames stream to <out>/latest.png atomically (point
+    any auto-reloading viewer at it). Commands:
+      w/a/s/d [m]   move (forward/left/back/right, default 1 m)
+      look DX DY    mouse-look degrees
+      gi|taa|vol|aabb|cascades   toggle settings (precompiled variants
+                    swap without a compile stall; others hit the cache)
+      q             quit
+    """
+    import dataclasses
+    import queue
+    import threading
+    import time as _time
+
+    from ..assets.image_io import save_image
+    from .overlay import burn_stats
+
+    cmds: "queue.Queue[str]" = queue.Queue()
+
+    def reader():
+        for line in sys.stdin:
+            cmds.put(line.strip())
+
+    threading.Thread(target=reader, daemon=True).start()
+    print("interactive: w/a/s/d [m], look DX DY, gi/taa/vol/aabb/cascades, q",
+          file=sys.stderr)
+
+    running = True
+    frame_no = 0
+    while running and (max_frames <= 0 or frame_no < max_frames):
+        inputs = InputState(right_mouse_down=True)
+        move = np.zeros(3, np.float32)
+        while True:
+            try:
+                line = cmds.get_nowait()
+            except queue.Empty:
+                break
+            parts = line.split()
+            if not parts:
+                continue
+            op = parts[0].lower()
+            arg = float(parts[1]) if len(parts) > 1 else 1.0
+            s = app.settings
+            if op == "q":
+                running = False
+            elif op in ("w", "a", "s", "d"):
+                fwd = app.camera.forward_vector()
+                right = app.camera.right_vector()
+                move += {"w": fwd, "s": -fwd, "d": right,
+                         "a": -right}[op] * arg
+            elif op == "look" and len(parts) >= 3:
+                inputs.mouse_movement = (float(parts[1]), float(parts[2]))
+            elif op == "gi":
+                app.set_settings(dataclasses.replace(
+                    s, sdf_trace=dataclasses.replace(
+                        s.sdf_trace, enabled=not s.sdf_trace.enabled)))
+            elif op == "taa":
+                app.set_settings(dataclasses.replace(
+                    s, taa=dataclasses.replace(
+                        s.taa, enabled=not s.taa.enabled)))
+            elif op == "vol":
+                app.set_settings(dataclasses.replace(
+                    s, volumetrics=dataclasses.replace(
+                        s.volumetrics, enabled=not s.volumetrics.enabled)))
+            elif op == "aabb":
+                app.set_settings(dataclasses.replace(
+                    s, draw_bounding_boxes=not s.draw_bounding_boxes))
+            elif op == "cascades":
+                app.set_settings(dataclasses.replace(
+                    s, shadows=dataclasses.replace(
+                        s.shadows, debug_cascade_colors=not
+                        s.shadows.debug_cascade_colors)))
+        app.camera.position = app.camera.position + move
+        t0 = _time.perf_counter()
+        image = app.run_frame(inputs)
+        image.block_until_ready()
+        frame_ms = (_time.perf_counter() - t0) * 1e3
+        frame = np.asarray(image)
+        stats = [f"{1e3 / max(frame_ms, 1e-3):6.1f} FPS  {frame_ms:7.2f} MS",
+                 f"GI:{'ON' if app.settings.sdf_trace.enabled else 'OFF'}"
+                 f" TAA:{'ON' if app.settings.taa.enabled else 'OFF'}"
+                 f" VOL:{'ON' if app.settings.volumetrics.enabled else 'OFF'}"]
+        if overlay:
+            frame = burn_stats(frame, stats, scale=overlay_scale)
+        tmp = out_dir / ".latest.tmp.png"
+        save_image(tmp, frame)
+        tmp.replace(out_dir / "latest.png")  # atomic present
+        print(" | ".join(stats), file=sys.stderr)
+        frame_no += 1
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("width", type=int, nargs="?", default=1280)
@@ -197,6 +293,16 @@ def main():
     ap.add_argument("--precompile-toggles", action="store_true",
                     help="AOT-compile common settings toggles up front so "
                          "runtime changes don't stall on XLA compiles")
+    ap.add_argument("--cam", type=float, nargs=3,
+                    default=[-9.0, -1.8, 0.0],
+                    help="camera position x y z (y-down world)")
+    ap.add_argument("--yaw", type=float, default=10.0)
+    ap.add_argument("--pitch", type=float, default=8.0)
+    ap.add_argument("--interactive", action="store_true",
+                    help="drive the camera + settings from stdin commands "
+                         "(w/a/s/d, look DX DY, gi/taa/vol/aabb/cascades, "
+                         "q) while streaming <out>/latest.png — the "
+                         "InputManager + ImGui-panel analog")
     args = ap.parse_args()
 
     if args.cpu:
@@ -209,15 +315,19 @@ def main():
         sdf_trace=SDFTraceSettings(enabled=not args.no_gi))
     app = App(settings, args.scene, with_gi=not args.no_gi,
               interpret=args.cpu, sdf_resolution_cap=32)
-    app.camera.position = np.asarray([-9.0, -1.8, 0.0], np.float32)
-    app.camera.yaw = 10.0
-    app.camera.pitch = 8.0
+    app.camera.position = np.asarray(args.cam, np.float32)
+    app.camera.yaw = args.yaw
+    app.camera.pitch = args.pitch
 
     if args.precompile_toggles:
         app.precompile_variants()
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.interactive:
+        interactive_loop(app, out_dir, not args.no_overlay,
+                         args.overlay_scale, max_frames=args.frames)
+        return
     from ..assets.image_io import save_image
     from .overlay import burn_stats
 

@@ -89,6 +89,21 @@ class CameraController:
         self.sprint_factor = sprint_factor
         self.mouse_sensitivity = mouse_sensitivity
 
+    def forward_vector(self) -> np.ndarray:
+        """Current forward direction (y-down world), without input."""
+        yaw_r = np.deg2rad(self.yaw)
+        pitch_r = np.deg2rad(self.pitch)
+        return np.asarray([
+            np.cos(pitch_r) * np.cos(yaw_r),
+            -np.sin(pitch_r),
+            np.cos(pitch_r) * np.sin(yaw_r),
+        ], np.float32)
+
+    def right_vector(self) -> np.ndarray:
+        up = np.asarray([0.0, -1.0, 0.0], np.float32)
+        right = np.cross(up, self.forward_vector())
+        return right / max(np.linalg.norm(right), 1e-9)
+
     def update(self, inputs: InputState, delta_time: float) -> CameraExtrinsic:
         if inputs.right_mouse_down:
             self.yaw += self.mouse_sensitivity * inputs.mouse_movement[0]

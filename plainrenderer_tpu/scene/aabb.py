@@ -11,6 +11,7 @@ vectorize: (N, 3) mins/maxs.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def aabb_from_positions(positions):
@@ -53,8 +54,12 @@ def pad_sdf_bounding_box(bb_min, bb_max):
     Shared rule between the SDF baker (SceneSDF.cpp), the GI culling passes and
     the trace kernel, so baked volumes and runtime sampling agree.
     """
-    bb_min = jnp.asarray(bb_min, jnp.float32)
-    bb_max = jnp.asarray(bb_max, jnp.float32)
+    # stays in the caller's namespace: host callers (the SDF baker / asset
+    # pipeline) get pure numpy — routing a 6-float pad through the device
+    # costs a dispatch + transfer round-trip (minutes over a tunneled TPU)
+    xp = jnp if not isinstance(bb_min, (np.ndarray, list, tuple)) else np
+    bb_min = xp.asarray(bb_min, xp.float32)
+    bb_max = xp.asarray(bb_max, xp.float32)
     extent = bb_max - bb_min
-    padding = jnp.maximum(extent * 0.075, 0.5)
+    padding = xp.maximum(extent * 0.075, 0.5)
     return bb_min - padding, bb_max + padding

@@ -118,6 +118,84 @@ def test_binning_covers_all_tiles_of_large_triangle():
     assert (ids >= 0).sum() > 0.5 * W * H
 
 
+@pytest.mark.parametrize("sub", [2, 4])
+def test_sub_bin_parity_matches_reference(rng, sub):
+    """Pixel parity of the sub>1 bin path (bin_rows=2/4 + sub=2/4), the
+    production configuration for the main view (sub=2) and shadow atlas
+    (sub=8): depth + winner ids must match reference_rasterize exactly like
+    the sub=1 tests do (ADVICE r2: a sub-block indexing bug — pixel-basis
+    offset, winner-slot decode, gbuf row slice — would otherwise pass CI)."""
+    tris = []
+    for _ in range(30):
+        cx, cy = rng.uniform(0.05, 0.95, 2)
+        size = rng.uniform(0.02, 0.25)
+        z = rng.uniform(0.1, 0.95)
+        tris.append(unit_tri(cx, cy, size, z))
+    t = np.asarray(tris, np.float32)
+    n = t.shape[0]
+    vp = np.eye(4, dtype=np.float32)
+    vp[0, 0] = 2.0
+    vp[0, 3] = -1.0
+    vp[1, 1] = 2.0
+    vp[1, 3] = -1.0
+    uvs = np.zeros((n, 3, 2), np.float32)
+    uvs[:, 1, 0] = 1.0
+    uvs[:, 2, 1] = 1.0
+    normals = np.tile(np.asarray([0, 0, 1], np.float32), (n, 3, 1))
+    setup = raster.geometry_setup(
+        jnp.asarray(t), jnp.asarray(uvs), jnp.asarray(normals),
+        jnp.asarray(normals), jnp.asarray(normals),
+        jnp.zeros((n,), jnp.float32), jnp.ones((n,), bool),
+        jnp.asarray(vp), jnp.asarray(vp), W, H, cull="none",
+        bin_rows=sub)
+    nty_b = H // (raster.TILE_H * sub)
+    pairs = raster.build_pairs(setup, nty_b, NTX)
+    pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True)
+    depth, vis, gbuf = raster.rasterize_gbuffer(
+        pair_edges, pair_attrs, pairs, nty_b, NTX, interpret=True, sub=sub)
+    ids = np.asarray(raster.winner_triangle_ids(vis, pairs, NTX, sub=sub))
+    depth = np.asarray(depth)
+    ref_depth, ref_ids = raster.reference_rasterize(
+        np.asarray(setup.edges), np.asarray(setup.valid), W, H)
+    np.testing.assert_array_equal(ids >= 0, ref_ids >= 0)
+    covered = ids >= 0
+    assert covered.sum() > 200
+    assert (ids[covered] != ref_ids[covered]).mean() < 0.01
+    np.testing.assert_allclose(depth[covered], ref_depth[covered], atol=2e-3)
+    assert int(pairs.overflow) == 0
+    # depth-only kernel on the same binned pairs (shadow-atlas path);
+    # clamps at 1/16384 instead of dropping z <= 0
+    edges_d, _ = raster.gather_pair_setups(setup, pairs, False)
+    d2 = np.asarray(raster.rasterize_depth(
+        edges_d, pairs, nty_b, NTX, interpret=True, sub=sub))
+    np.testing.assert_allclose(d2[covered], ref_depth[covered], atol=2e-3)
+    # row-skip path (production shadow atlas): y-sorted pair emission +
+    # fine-row extents in the pad rows + per-group sub-block skipping must
+    # produce the IDENTICAL depth image
+    pairs_r = raster.build_pairs(setup, nty_b, NTX, bin_rows=sub,
+                                 order_rows=True)
+    edges_r, _ = raster.gather_pair_setups(setup, pairs_r, False,
+                                           row_extents=True)
+    d3 = np.asarray(raster.rasterize_depth(
+        edges_r, pairs_r, nty_b, NTX, interpret=True, sub=sub,
+        row_skip=True))
+    np.testing.assert_array_equal(d3, d2)
+    assert int(pairs_r.overflow) == 0
+    # gbuffer row-skip (production main view): same coverage and depth;
+    # winners may differ only where quantized depths tie exactly
+    edges_g, attrs_g = raster.gather_pair_setups(setup, pairs_r, True,
+                                                 row_extents=True)
+    d4, vis4, gbuf4 = raster.rasterize_gbuffer(
+        edges_g, attrs_g, pairs_r, nty_b, NTX, interpret=True, sub=sub,
+        row_skip=True)
+    ids4 = np.asarray(raster.winner_triangle_ids(vis4, pairs_r, NTX,
+                                                 sub=sub))
+    np.testing.assert_array_equal(ids4 >= 0, ref_ids >= 0)
+    assert (ids4[covered] != ref_ids[covered]).mean() < 0.01
+    np.testing.assert_allclose(np.asarray(d4)[covered], ref_depth[covered],
+                               atol=2e-3)
+
+
 def test_gbuffer_uv_interpolation_perspective_correct():
     # right triangle with uv = barycentric mapping; constant z plane =>
     # affine == perspective-correct; check uv at interior pixels

@@ -51,7 +51,10 @@ def main():
     dev = frame_mod.scene_to_device(rs)
     settings = RenderSettings(width=args.width, height=args.height)
     pw, ph = raster.pad_resolution(args.width, args.height)
-    nty, ntx = ph // raster.TILE_H, pw // raster.TILE_W
+    # production bin grids (frame_mod.main_bin_sub / shadow_bin_sub), so
+    # pair/overflow numbers here predict render_frame behavior exactly
+    m_sub = frame_mod.main_bin_sub(ph)
+    nty, ntx = ph // (raster.TILE_H * m_sub), pw // raster.TILE_W
 
     ext = cam_mod.extrinsic_from_angles([-9.0, -1.8, 0.0], pitch_deg=8.0,
                                         yaw_deg=10.0)
@@ -67,9 +70,10 @@ def main():
                                   dev["object_bb_max"]),
         dev["tri_starts"], t_count)
 
-    def report(name, setup, n_ty, n_tx, n_views=1, tile_cap=None):
+    def report(name, setup, n_ty, n_tx, n_views=1, tile_cap=None,
+               bin_rows=1):
         pairs = raster.build_pairs(setup, n_ty, n_tx, n_views=n_views,
-                                   tile_cap=tile_cap)
+                                   tile_cap=tile_cap, bin_rows=bin_rows)
         live = int(np.asarray(setup.valid.sum()))
         real = int(np.asarray(pairs.tile_count.sum()))
         slots = int(pairs.pair_tri.shape[0])
@@ -83,8 +87,8 @@ def main():
         dev["corners"], dev["corner_uvs"], dev["corner_normals"],
         dev["corner_tangents"], dev["corner_bitangents"],
         dev["tri_material"], vis, vp, vp, pw, ph, cull="back",
-        near_w=frame_mod.NEAR_PLANE)
-    report("main view", setup, nty, ntx)
+        near_w=frame_mod.NEAR_PLANE, bin_rows=m_sub)
+    report("main view", setup, nty, ntx, bin_rows=m_sub)
 
     # shadow cascade atlas (the exact path render_frame takes)
     sres = settings.shadows.resolution
@@ -106,8 +110,11 @@ def main():
         dev["corner_bitangents"], dev["object_bb_min"],
         dev["object_bb_max"], cascade_mats, n_casc, sres,
         dev.get("tri_alpha_slot"), t_count)
-    report("shadow atlas", atlas_setup, n_casc * sres // raster.TILE_H,
-           sres // raster.TILE_W, n_views=n_casc, tile_cap=1 << 14)
+    s_sub = frame_mod.shadow_bin_sub(sres)
+    report("shadow atlas", atlas_setup,
+           n_casc * sres // (raster.TILE_H * s_sub),
+           sres // raster.TILE_W, n_views=n_casc, tile_cap=1 << 15,
+           bin_rows=s_sub)
 
 
 if __name__ == "__main__":
