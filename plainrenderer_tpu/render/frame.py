@@ -17,6 +17,7 @@ state so adding them does not change the interface.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -378,13 +379,55 @@ def render_frame(
     # triangles live, and per-frame overflow counters (asserted zero in
     # tests, shown in the overlay) catch any scene that outgrows it
     m_budget = t_count // 2 + 8 * nty * m_sub * ntx
-    pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
-                               order_rows=True, pair_budget=m_budget)
-    pair_edges, pair_attrs = raster.gather_pair_setups(setup, pairs, True,
-                                                       row_extents=True)
-    depth, vis, gbuf = raster.rasterize_gbuffer(
-        pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret,
-        alpha_masks=alpha_masks, sub=m_sub, row_skip=True)
+    if alpha_masks is None:
+        pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
+                                   order_rows=True, pair_budget=m_budget,
+                                   interpret=interpret)
+        pair_edges, pair_attrs = raster.gather_pair_setups(
+            setup, pairs, True, row_extents=True)
+        depth, vis, gbuf = raster.rasterize_gbuffer(
+            pair_edges, pair_attrs, pairs, nty, ntx, interpret=interpret,
+            sub=m_sub, row_skip=True)
+        main_overflow = pairs.overflow
+    else:
+        # OPAQUE/ALPHA STREAM SPLIT (same reasoning as the shadow atlas):
+        # carrying the 8-plane table for every pair costs ~7 ms/frame at
+        # bench sizes even with the per-group alpha gate (32-row DMAs +
+        # transposes + 72-row attr gathers). Rasterize opaque pairs on the
+        # 4-plane path, the (few) alpha pairs on the full path, and merge
+        # by depth in XLA — pure elementwise selects over the G-buffer.
+        is_alpha_main = alpha_slots > 0
+        setup_o = dataclasses.replace(
+            setup, edges=setup.edges[:, :4],
+            valid=setup.valid & ~is_alpha_main)
+        setup_a = dataclasses.replace(
+            setup, valid=setup.valid & is_alpha_main)
+        pairs_o = raster.build_pairs(setup_o, nty, ntx, bin_rows=m_sub,
+                                     order_rows=True,
+                                     pair_budget=m_budget,
+                                     interpret=interpret)
+        pe_o, pa_o = raster.gather_pair_setups(setup_o, pairs_o, True,
+                                               row_extents=True)
+        d1, v1, g1 = raster.rasterize_gbuffer(
+            pe_o, pa_o, pairs_o, nty, ntx, interpret=interpret,
+            sub=m_sub, row_skip=True)
+        ma_budget = t_count // 16 + 4 * nty * m_sub * ntx
+        pairs_a = raster.build_pairs(setup_a, nty, ntx, bin_rows=m_sub,
+                                     order_rows=True,
+                                     pair_budget=ma_budget,
+                                     interpret=interpret)
+        pe_a, pa_a = raster.gather_pair_setups(setup_a, pairs_a, True,
+                                               row_extents=True)
+        d2, v2, g2 = raster.rasterize_gbuffer(
+            pe_a, pa_a, pairs_a, nty, ntx, interpret=interpret,
+            alpha_masks=alpha_masks, sub=m_sub, row_skip=True)
+        # reverse-Z: larger depth wins; uncovered pixels are 0 on both
+        # sides so the merged validity is the union
+        win2 = d2 > d1
+        depth = jnp.where(win2, d2, d1)
+        vis = jnp.where(win2, v2, v1)
+        gbuf = jnp.where(win2[None], g2, g1)
+        main_overflow = pairs_o.overflow + pairs_a.overflow
     valid = vis >= 0
 
     # --- shading inputs ---
@@ -492,17 +535,60 @@ def render_frame(
         # slots measured) — budget a third, guarded by the overflow counter
         s_budget = (n_cas * t_count) // 3 \
             + 8 * n_cas * s_nty * s_sub * s_ntx
-        s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
-                                     n_views=n_cas, tile_cap=1 << 15,
-                                     bin_rows=s_sub, order_rows=True,
-                                     pair_budget=s_budget)
-        shadow_overflow = s_pairs.overflow
-        s_edges, _ = raster.gather_pair_setups(atlas_setup, s_pairs, False,
-                                               row_extents=True)
-        atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
-                                       s_ntx, interpret=interpret,
-                                       alpha_masks=alpha_masks, sub=s_sub,
-                                       row_skip=True)
+
+        if alpha_masks is not None:
+            # OPAQUE/ALPHA STREAM SPLIT: the alpha path (3 extra plane
+            # evals, a divide, the mask lane-gathers per sub-block) costs
+            # ~7x the opaque depth loop per group, and y-sorted emission
+            # scatters the few alpha-tested casters across most groups —
+            # profiled +20 ms/frame for 4 banners. Rasterize the opaque
+            # casters with the 4-plane table, then max-merge the (tiny)
+            # alpha stream on top (sunShadow.frag runs one pipeline per
+            # drawcall batch; the split is the same idea stream-wise).
+            is_alpha_atlas = jnp.tile(alpha_slots > 0, n_cas)
+            setup_o = dataclasses.replace(
+                atlas_setup,
+                edges=atlas_setup.edges[:, :4],
+                valid=atlas_setup.valid & ~is_alpha_atlas)
+            setup_a = dataclasses.replace(
+                atlas_setup, valid=atlas_setup.valid & is_alpha_atlas)
+            pairs_o = raster.build_pairs(setup_o, n_cas * s_nty, s_ntx,
+                                         n_views=n_cas, tile_cap=1 << 15,
+                                         bin_rows=s_sub, order_rows=True,
+                                         pair_budget=s_budget,
+                                         interpret=interpret)
+            edges_o, _ = raster.gather_pair_setups(setup_o, pairs_o, False,
+                                                   row_extents=True)
+            atlas = raster.rasterize_depth(edges_o, pairs_o, n_cas * s_nty,
+                                           s_ntx, interpret=interpret,
+                                           sub=s_sub, row_skip=True)
+            a_budget = (n_cas * t_count) // 16 \
+                + 4 * n_cas * s_nty * s_sub * s_ntx
+            pairs_a = raster.build_pairs(setup_a, n_cas * s_nty, s_ntx,
+                                         n_views=n_cas, tile_cap=1 << 15,
+                                         bin_rows=s_sub, order_rows=True,
+                                         pair_budget=a_budget,
+                                         interpret=interpret)
+            edges_a, _ = raster.gather_pair_setups(setup_a, pairs_a, False,
+                                                   row_extents=True)
+            atlas = raster.rasterize_depth(edges_a, pairs_a, n_cas * s_nty,
+                                           s_ntx, interpret=interpret,
+                                           alpha_masks=alpha_masks,
+                                           sub=s_sub, row_skip=True,
+                                           init_depth=atlas)
+            shadow_overflow = pairs_o.overflow + pairs_a.overflow
+        else:
+            s_pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
+                                         n_views=n_cas, tile_cap=1 << 15,
+                                         bin_rows=s_sub, order_rows=True,
+                                         pair_budget=s_budget,
+                                         interpret=interpret)
+            shadow_overflow = s_pairs.overflow
+            s_edges, _ = raster.gather_pair_setups(
+                atlas_setup, s_pairs, False, row_extents=True)
+            atlas = raster.rasterize_depth(s_edges, s_pairs, n_cas * s_nty,
+                                           s_ntx, interpret=interpret,
+                                           sub=s_sub, row_skip=True)
         shadow_maps = atlas.reshape(n_cas, sres, sres)
         if n_cas < shadow.MAX_CASCADES:
             shadow_maps = jnp.concatenate([
@@ -868,9 +954,44 @@ def render_frame(
         prev_view_projection=view_proj,
         prev_jitter=jitter_ndc,
         debug_counters=jnp.stack(
-            [pairs.overflow, shadow_overflow]).astype(jnp.int32),
+            [main_overflow, shadow_overflow]).astype(jnp.int32),
     )
     return image, new_state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_frames", "interpret"),
+    donate_argnames=("state",),
+)
+def render_flight(state, scene, cam_path, luts, delta_time,
+                  settings: RenderSettings, n_frames: int,
+                  interpret: bool = False):
+    """Render n_frames consecutive frames in ONE dispatch (lax.scan).
+
+    cam_path leaves carry a leading path dimension indexed on device by
+    state.frame_index (the render_frame camera-path mode), so the scan body
+    is exactly the per-frame program. Returns the LAST frame's image plus
+    the final state. One executable launch covers the whole flight: the
+    per-dispatch host latency (measured ~40 ms per execute through the
+    tunneled TPU; also what any remote/batch deployment pays) amortizes to
+    zero. This is the renderer's batch/flythrough mode — the analog of the
+    reference presenting frames without CPU readback (its swapchain loop,
+    Runtime/main.cpp:79-90); the interactive path still dispatches per
+    frame for input latency.
+    """
+    body = render_frame.__wrapped__  # trace inline; scan reuses carries
+
+    def step(st, _):
+        img, st2 = body(st, scene, cam_path, luts, delta_time, settings,
+                        interpret, None, None)
+        return st2, None
+
+    if n_frames > 1:
+        state, _ = jax.lax.scan(step, state, None, length=n_frames - 1)
+    image, state = body(state, scene, cam_path, luts, delta_time, settings,
+                        interpret, None, None)
+    return image, state
 
 
 def scene_to_device(rs) -> dict:

@@ -355,3 +355,42 @@ def test_alpha_banners_render_with_holes():
     # (broken alpha path) leaves ~0 unchanged pixels inside its bbox
     same_in_box = (np.abs(img[box] - img0[box]).max(-1) <= 2).mean()
     assert same_in_box > 0.04, same_in_box
+
+
+def test_render_flight_matches_sequential_frames():
+    """render_flight (one-dispatch lax.scan batch mode, the bench path)
+    must produce the same final image and state as N sequential
+    render_frame dispatches over the same camera path."""
+    settings = small_settings()
+    scene = build_test_scene()
+    luts = frame_mod.bake_static_luts(settings)
+    ext = cam.extrinsic_from_angles([0.0, -1.7, 0.0], pitch_deg=5.0,
+                                    yaw_deg=20.0)
+    c0 = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                 ext.up)
+    ext2 = cam.extrinsic_from_angles([0.2, -1.7, 0.1], pitch_deg=6.0,
+                                     yaw_deg=22.0)
+    c1 = frame_mod.camera_arrays(ext2.position, ext2.forward, ext2.right,
+                                 ext2.up)
+    cam_path = {k: jnp.stack([c0[k], c1[k], c0[k]]) for k in c0}
+    dt = jnp.asarray(0.016)
+
+    state_a = initial_state(W, H)
+    img_a = None
+    for _ in range(3):
+        img_a, state_a = frame_mod.render_frame(
+            state_a, scene, cam_path, luts, dt, settings, interpret=True)
+
+    state_b = initial_state(W, H)
+    img_b, state_b = frame_mod.render_flight(
+        state_b, scene, cam_path, luts, dt, settings, 3, interpret=True)
+
+    # scan-inlined body fuses differently than the top-level jit, so fp
+    # rounding can move a pixel by an lsb or two — demand near-identity
+    a = np.asarray(img_a).astype(np.int32)
+    b = np.asarray(img_b).astype(np.int32)
+    assert np.abs(a - b).max() <= 3
+    assert np.abs(a - b).mean() < 0.2
+    assert int(state_b.frame_index) == int(state_a.frame_index) == 3
+    np.testing.assert_allclose(np.asarray(state_a.exposure),
+                               np.asarray(state_b.exposure), rtol=1e-4)

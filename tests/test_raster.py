@@ -343,3 +343,113 @@ def test_alpha_opaque_scene_with_slots_matches_no_alpha():
     d1, i1, _, _ = full_raster(s_alpha, alpha_masks=masks)
     np.testing.assert_array_equal(i0, i1)
     np.testing.assert_array_equal(d0, d1)
+
+
+@pytest.mark.parametrize("n_views,order_rows,bin_rows,with_alpha",
+                         [(1, False, 1, False), (1, True, 2, False),
+                          (3, True, 8, False), (1, True, 2, True)])
+def test_expand_kernel_matches_xla_path(rng, n_views, order_rows, bin_rows,
+                                        with_alpha):
+    """The Pallas key-expansion kernel (build_pairs expand_impl='kernel')
+    must produce byte-identical PairLists to the XLA owner/decode path
+    across views, row ordering, sparse validity, and overflow."""
+    tpv = 400
+    t = tpv * n_views
+    nty_total = 8 * n_views
+    ntx = 4
+    ty0 = rng.integers(0, nty_total // n_views, t).astype(np.int32)
+    sy = rng.integers(1, 4, t).astype(np.int32)
+    ty1 = np.minimum(ty0 + sy - 1, nty_total // n_views - 1)
+    # shift each view's rows into its band (mirrors shadow_atlas_setup)
+    voff = np.repeat(np.arange(n_views, dtype=np.int32),
+                     tpv) * (nty_total // n_views)
+    tx0 = rng.integers(0, ntx, t).astype(np.int32)
+    sx = rng.integers(1, 3, t).astype(np.int32)
+    tx1 = np.minimum(tx0 + sx - 1, ntx - 1)
+    valid = rng.random(t) > 0.6  # sparse: exercises chunk advancing
+    bbox = np.stack([ty0 + voff, tx0, ty1 + voff, tx1], axis=1)
+    fine = np.stack([(ty0 + voff) * bin_rows
+                     + rng.integers(0, bin_rows, t).astype(np.int32),
+                     (ty1 + voff) * bin_rows + bin_rows - 1], axis=1)
+    setup = raster.TriangleSetup(
+        edges=jnp.zeros((3, 4, t), jnp.float32),
+        attrs=jnp.zeros((raster.NATTR, 0), jnp.float32),
+        tile_bbox=jnp.asarray(bbox),
+        valid=jnp.asarray(valid),
+        fine_y=jnp.asarray(np.where(valid[:, None], fine, [1, 0])))
+    tri_alpha = jnp.asarray(rng.random(t) < 0.1) if with_alpha else None
+    for budget in (None, 256):  # None = ample; 256 forces overflow
+        a = raster.build_pairs(setup, nty_total, ntx, n_views=n_views,
+                               bin_rows=bin_rows, order_rows=order_rows,
+                               pair_budget=budget, tri_alpha=tri_alpha,
+                               expand_impl="kernel")
+        b = raster.build_pairs(setup, nty_total, ntx, n_views=n_views,
+                               bin_rows=bin_rows, order_rows=order_rows,
+                               pair_budget=budget, tri_alpha=tri_alpha,
+                               expand_impl="xla")
+        np.testing.assert_array_equal(np.asarray(a.pair_tri),
+                                      np.asarray(b.pair_tri))
+        np.testing.assert_array_equal(np.asarray(a.tile_start),
+                                      np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_count),
+                                      np.asarray(b.tile_count))
+        assert int(a.overflow) == int(b.overflow)
+    assert int(a.overflow) > 0  # the 256 budget really overflowed
+
+
+def test_shadow_stream_split_matches_single_stream(rng):
+    """The opaque/alpha shadow split (render_frame's two rasterize_depth
+    passes with init_depth max-merge) must reproduce the single-stream
+    8-plane alpha raster exactly: same planes, pure depth max, no ties."""
+    import dataclasses as dc
+
+    from plainrenderer_tpu.assets.textures import build_alpha_mask
+
+    tris, slots = [], []
+    for i in range(24):
+        cx, cy = rng.uniform(0.1, 0.9, 2)
+        tris.append(unit_tri(cx, cy, rng.uniform(0.05, 0.3),
+                             rng.uniform(0.1, 0.9)))
+        slots.append(1 if i % 3 == 0 else 0)
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    alpha_img = (((yy // 8) + (xx // 8)) % 2).astype(np.float32)
+    masks = np.zeros((2, 128), np.int32)
+    masks[0] = build_alpha_mask(alpha_img)
+    masks_j = jnp.asarray(masks)
+
+    setup = make_setup(tris, alpha_slots=slots)
+    sub = 2
+    nty_b = H // (raster.TILE_H * sub)
+
+    # single stream: all triangles through the 8-plane alpha kernel
+    pairs = raster.build_pairs(setup, nty_b, NTX, bin_rows=sub,
+                               order_rows=True)
+    edges, _ = raster.gather_pair_setups(setup, pairs, False,
+                                         row_extents=True)
+    d_single = np.asarray(raster.rasterize_depth(
+        edges, pairs, nty_b, NTX, interpret=True, alpha_masks=masks_j,
+        sub=sub, row_skip=True))
+
+    # split streams: opaque 4-plane pass, then alpha max-merge on top
+    is_alpha = jnp.asarray(np.asarray(slots) > 0)
+    setup_o = dc.replace(setup, edges=setup.edges[:, :4],
+                         valid=setup.valid & ~is_alpha)
+    setup_a = dc.replace(setup, valid=setup.valid & is_alpha)
+    pairs_o = raster.build_pairs(setup_o, nty_b, NTX, bin_rows=sub,
+                                 order_rows=True)
+    edges_o, _ = raster.gather_pair_setups(setup_o, pairs_o, False,
+                                           row_extents=True)
+    d0 = raster.rasterize_depth(edges_o, pairs_o, nty_b, NTX,
+                                interpret=True, sub=sub, row_skip=True)
+    pairs_a = raster.build_pairs(setup_a, nty_b, NTX, bin_rows=sub,
+                                 order_rows=True)
+    edges_a, _ = raster.gather_pair_setups(setup_a, pairs_a, False,
+                                           row_extents=True)
+    d_split = np.asarray(raster.rasterize_depth(
+        edges_a, pairs_a, nty_b, NTX, interpret=True, alpha_masks=masks_j,
+        sub=sub, row_skip=True, init_depth=d0))
+
+    np.testing.assert_array_equal(d_split, d_single)
+    assert (d_split > 0).sum() > 500  # scene actually covers pixels
+    # the alpha checkerboard actually cut holes somewhere
+    assert int(pairs_a.overflow) == 0 and int(pairs_o.overflow) == 0

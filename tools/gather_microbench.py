@@ -18,12 +18,21 @@ sys.path.insert(0, str(REPO))
 
 def bench(name, fn, *args, iters=20):
     import jax
+    import numpy as _np
+
+    def sync(out):
+        # jax.block_until_ready does NOT block over the axon tunnel (see
+        # .claude/skills/verify/SKILL.md) — force a tiny transfer instead
+        leaf = jax.tree.leaves(out)[0]
+        _np.asarray(leaf.ravel()[:1])
+
     f = jax.jit(fn)
-    out = jax.block_until_ready(f(*args))
+    out = f(*args)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(*args)
-    jax.block_until_ready(out)
+    sync(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:44s} {ms:8.3f} ms", flush=True)
     return out

@@ -52,7 +52,8 @@ def build_frame(args):
     s = args.scale
     cfg = procedural.AtriumConfig(
         columns_per_row=6, column_segments=16 * s,
-        floor_subdiv=16 * s, box_count=12, box_subdiv=4 * s)
+        floor_subdiv=16 * s, box_count=12, box_subdiv=4 * s,
+        banner_count=4)  # alpha-tested banners: match bench.py exactly
     scene_data = procedural.build_atrium_scene(cfg)
     rs = scenebuild.build_render_scene(scene_data)
     print(f"# triangles: {rs.triangle_count}", file=sys.stderr)

@@ -104,6 +104,40 @@ def main():
               file=sys.stderr)
         return 1
     exposure = float(np.asarray(state.exposure))
+
+    # f32-division exactness sweep (ADVICE r2): build_pairs decodes
+    # k // sx as floor(f32(k) / f32(sx)) + one-step integer fixup. The
+    # RAW floor-divide is NOT exact on TPU (reciprocal-based divide: this
+    # sweep caught one-low quotients at exact multiples for sx=41/61/69,
+    # which silently misplaced pairs until the fixup landed). Verify the
+    # PRODUCTION formula on hardware at the exact-multiple boundaries for
+    # every sx the bbox packing allows, plus a random (k, sx) sample.
+    def div_sweep(k, sx):
+        dy = jnp.floor(k.astype(jnp.float32)
+                       / sx.astype(jnp.float32)).astype(jnp.int32)
+        r = k - dy * sx
+        return dy + (r >= sx).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+
+    sweep = jax.jit(div_sweep)
+    rng = np.random.default_rng(0)
+    sxs = np.arange(1, 128, dtype=np.int32)
+    dys = rng.integers(0, 1 << 16, (256, 1)).astype(np.int32)
+    k_exact = (dys * sxs[None, :]).astype(np.int32)  # k = dy*sx exactly
+    got = np.asarray(sweep(jnp.asarray(k_exact), jnp.asarray(
+        np.broadcast_to(sxs[None, :], k_exact.shape))))
+    if not (got == dys).all():
+        bad = np.argwhere(got != dys)[:3]
+        print(f"FAIL: f32 k//sx wrong at exact multiples, e.g. {bad}",
+              file=sys.stderr)
+        return 1
+    k_rand = rng.integers(0, 1 << 23, (256, 127)).astype(np.int32)
+    got = np.asarray(sweep(jnp.asarray(k_rand), jnp.asarray(
+        np.broadcast_to(sxs[None, :], k_rand.shape))))
+    if not (got == k_rand // sxs[None, :]).all():
+        print("FAIL: f32 k//sx wrong on random sample", file=sys.stderr)
+        return 1
+    print("# f32 div sweep: exact for all sx in [1,127]", file=sys.stderr)
+
     print(f"OK: TPU smoke passed (mean={mean:.1f}, exposure={exposure:.2e})")
     return 0
 
