@@ -679,7 +679,8 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     # [cum_ex[t], cum_ex[t] + span[t])   (i32: total pairs past 2^31 would
     # wrap, but such a frame is orders of magnitude past any budget)
     with jax.named_scope("bin.spans"):
-        cum = jnp.cumsum(span)
+        from .scanlib import exact_cumsum
+        cum = exact_cumsum(span)
         total = cum[-1]
         cum_ex = cum - span
         overflow = jnp.maximum(total - budget, 0)

@@ -562,19 +562,35 @@ def render_frame(
             atlas = raster.rasterize_depth(edges_o, pairs_o, n_cas * s_nty,
                                            s_ntx, interpret=interpret,
                                            sub=s_sub, row_skip=True)
+            # The alpha depth kernel at sub=8 was the single worst Mosaic
+            # compile in the frame (146 s measured: 8 unrolled copies of
+            # the UV/mask-gather body). The alpha stream is tiny (banner
+            # geometry), so rasterize it on a sub=2 bin grid instead: a
+            # 2x-unrolled body compiles in seconds, and finer bins waste
+            # fewer pair evals for the few casters. (sub=1 would overflow
+            # the packed sort key at MAX_CASCADES x 2048 x 292k tris.)
+            a_sub = min(2, s_sub)
+            a_nty = sres // (raster.TILE_H * a_sub)
+            fine_bbox = jnp.stack(
+                [setup_a.fine_y[:, 0] // a_sub,
+                 atlas_setup.tile_bbox[:, 1],
+                 setup_a.fine_y[:, 1] // a_sub,
+                 atlas_setup.tile_bbox[:, 3]], axis=1)
+            # invalid rows: fine_y is (1, 0) -> ty0 = 0 = ty1, span gated
+            # by setup.valid anyway
+            setup_a = dataclasses.replace(setup_a, tile_bbox=fine_bbox)
             a_budget = (n_cas * t_count) // 16 \
-                + 4 * n_cas * s_nty * s_sub * s_ntx
-            pairs_a = raster.build_pairs(setup_a, n_cas * s_nty, s_ntx,
+                + 4 * n_cas * a_nty * a_sub * s_ntx
+            pairs_a = raster.build_pairs(setup_a, n_cas * a_nty, s_ntx,
                                          n_views=n_cas, tile_cap=1 << 15,
-                                         bin_rows=s_sub, order_rows=True,
+                                         bin_rows=a_sub,
                                          pair_budget=a_budget,
                                          interpret=interpret)
-            edges_a, _ = raster.gather_pair_setups(setup_a, pairs_a, False,
-                                                   row_extents=True)
-            atlas = raster.rasterize_depth(edges_a, pairs_a, n_cas * s_nty,
+            edges_a, _ = raster.gather_pair_setups(setup_a, pairs_a, False)
+            atlas = raster.rasterize_depth(edges_a, pairs_a, n_cas * a_nty,
                                            s_ntx, interpret=interpret,
                                            alpha_masks=alpha_masks,
-                                           sub=s_sub, row_skip=True,
+                                           sub=a_sub,
                                            init_depth=atlas)
             shadow_overflow = pairs_o.overflow + pairs_a.overflow
         else:
@@ -982,15 +998,19 @@ def render_flight(state, scene, cam_path, luts, delta_time,
     """
     body = render_frame.__wrapped__  # trace inline; scan reuses carries
 
-    def step(st, _):
+    def step(carry, _):
+        st, _last = carry
         img, st2 = body(st, scene, cam_path, luts, delta_time, settings,
                         interpret, None, None)
-        return st2, None
+        return (st2, img), None
 
-    if n_frames > 1:
-        state, _ = jax.lax.scan(step, state, None, length=n_frames - 1)
-    image, state = body(state, scene, cam_path, luts, delta_time, settings,
-                        interpret, None, None)
+    # the last image rides the CARRY (not a stacked scan output): the frame
+    # body is traced exactly ONCE — tracing it a second time for the final
+    # frame doubled the whole module's XLA+Mosaic compile time (~2x of a
+    # 400 s cold compile measured in round 3)
+    img0 = jnp.zeros((settings.height, settings.width, 3), jnp.uint8)
+    (state, image), _ = jax.lax.scan(step, (state, img0), None,
+                                     length=n_frames)
     return image, state
 
 

@@ -178,11 +178,13 @@ def expand_object_mask(obj_mask, tri_starts, t_count: int):
 
     tri_starts: (O,) i32 device array of first-triangle indices.
     """
+    from ..ops.scanlib import exact_cumsum
+
     vals = obj_mask.astype(jnp.int32)
     deltas = jnp.diff(vals, prepend=0)
     acc = jnp.zeros((t_count,), jnp.int32).at[tri_starts].add(
         deltas, mode="drop")
-    return jnp.cumsum(acc) > 0
+    return exact_cumsum(acc) > 0
 
 
 def aabb_intersects_frustum(frustum: ViewFrustum, bb_min, bb_max):
