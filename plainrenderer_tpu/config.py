@@ -123,3 +123,10 @@ class RenderSettings:
     sun_direction_angles: tuple = (0.0, 45.0)  # (phi, theta) deg; ref default (0,0)=zenith (RenderFrontend.h:141)
     # debug AABB wireframes (debug.vert + RenderFrontend.cpp:947-956)
     draw_bounding_boxes: bool = False
+    # raster pair-budget multiplier. The default budgets assume typical
+    # cull ratios (back-face + frustum leaves < 1/2 of triangles in the
+    # main view, < 1/3 per shadow cascade); a scene/framing that exceeds
+    # them drops pairs — counted in FrameState.debug_counters, shown in
+    # the overlay, and escalated via a per-frame jax.debug.print warning.
+    # Raise this (recompiles; budgets scale O(n)) to restore headroom.
+    pair_budget_scale: float = 1.0

@@ -96,10 +96,11 @@ def sample_brdf_lut(lut: jnp.ndarray, roughness: jnp.ndarray,
                     nov: jnp.ndarray) -> jnp.ndarray:
     """Bilinear LUT sample at (roughness, NoV) -> (3, ...).
 
-    Reference/test helper only: this uses XLA gathers, which are far too slow
-    for the per-pixel hot path on TPU (~8 cycles/element). The shade kernel
-    samples the LUT in-register; the pure-XLA shading path uses
-    env_brdf_approx below.
+    Reference/test/parity helper only: this uses XLA gathers, which are far
+    too slow for the per-pixel hot path on TPU (~8 cycles/element). The
+    production frame shades with env_brdf_approx below; the approximation
+    error against this exact bake is bounded by a PARITY.md row
+    (tools/parity_report.py brdf_lut_vs_approx).
     """
     n = lut.shape[1]
     shape = roughness.shape
@@ -126,8 +127,11 @@ def env_brdf_approx(roughness: jnp.ndarray, nov: jnp.ndarray):
     """Analytic split-sum approximation (Karis, "Physically Based Material
     on Mobile") returning (fc_k, k) matching the LUT's x/y channels.
 
-    Used by the pure-XLA shading path where a per-pixel LUT gather would be
-    prohibitively slow; the Pallas shade kernel uses the exact baked LUT.
+    Used by the production shading path (ops/shade.py), where a per-pixel
+    LUT gather would be prohibitively slow on TPU. The deviation from the
+    reference's 1024-sample 512^2 bake (brdfLut.comp via bake_brdf_lut) is
+    measured over the full (roughness, NoV) grid and reported in PARITY.md;
+    the worst error sits at grazing angles on rough metals.
     """
     x = 1.0 - roughness
     y = nov

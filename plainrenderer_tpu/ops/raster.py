@@ -467,7 +467,11 @@ def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
         lo = jnp.zeros((8, 128), jnp.int32)
         hi = jnp.full((8, 128), c, jnp.int32)
         for _ in range(12):  # ceil(log2(c)) + 1 resolves any gap
-            mid = (lo + hi) >> 1
+            # clamp the probe to the chunk: once lo reaches c the raw mid
+            # would gather row c (one past the chunk end) — benign only by
+            # gather_rows_128's zero-fill; the clamp keeps probes in range
+            # and preserves the invariant (cum[c-1] <= j keeps lo at c)
+            mid = jnp.minimum((lo + hi) >> 1, c - 1)
             v = gatherlib.gather_rows_128(cum_c, mid)
             le = v <= j
             lo = jnp.where(le, mid + 1, lo)
@@ -590,6 +594,8 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 order_rows: bool = False,
                 tri_alpha=None,
                 expand_impl: str = "kernel",
+                view_row0=None,
+                rows_per_view: int | None = None,
                 interpret: bool | None = None) -> PairLists:
     """Expand triangles into sorted per-tile pair lists.
 
@@ -629,13 +635,24 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     VIEW-LOCAL triangle index (a triangle's tiles never cross views), which
     keeps the key in int32 at atlas sizes a global index would overflow.
 
-    order_rows (depth-only consumers): the key additionally packs each
-    pair's FIRST covered 16px sub-row within its bin (from setup.fine_y),
-    so a bin's segment comes out y-sorted and the raster kernel's
-    per-group [smin, smax] sub-block skip is tight — tiny triangles stop
-    paying the whole (bin_rows * 16 x 128) bin. ONLY valid when pair order
-    within a tile is irrelevant (pure depth max); the winner-tracking
-    kernels need tri-ordered ties to match the reference rasterizer.
+    view_row0 + rows_per_view (multi-device atlas sharding): the setup's
+    tile_bbox rows are LOCAL to a horizontal atlas band whose first bin row
+    sits at the TRACED global bin row view_row0 (e.g. axis_index * band
+    bins); rows_per_view (static) is the full atlas's bin rows per view.
+    The decode then recovers each tile's view as
+    (view_row0 + tile_row) // rows_per_view instead of assuming this call
+    covers whole views — bands may start/end mid-cascade.
+
+    order_rows (depth-only AND winner-tracking consumers): the key
+    additionally packs each pair's FIRST covered 16px sub-row within its
+    bin (from setup.fine_y), so a bin's segment comes out y-sorted and the
+    raster kernel's per-group [smin, smax] sub-block skip is tight — tiny
+    triangles stop paying the whole (bin_rows * 16 x 128) bin. Contract:
+    reordering changes winner selection ONLY between EXACTLY-equal
+    quantized depths (coplanar ties), which every current consumer accepts
+    — the slot packing already made such ties arbitrary. A consumer that
+    needs bit-exact triangle-order tie-breaks against reference_rasterize
+    must pass order_rows=False.
     """
     del pairs_per_tri
     if interpret is None:
@@ -645,9 +662,12 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
         interpret = jax.default_backend() != "tpu"
     t_count = setup.valid.shape[0]
     n_tiles = n_tiles_y * n_tiles_x
-    assert t_count % n_views == 0 and n_tiles % n_views == 0
+    assert t_count % n_views == 0
+    assert view_row0 is None or rows_per_view is not None
+    if view_row0 is None:
+        assert n_tiles % n_views == 0
+        tiles_per_view = n_tiles // n_views
     tpv = t_count // n_views  # triangles per view
-    tiles_per_view = n_tiles // n_views
     key_rows = bin_rows if order_rows else 1  # sub-row factor in the key
     # tri_alpha: per-triangle bool — alpha-tested pairs sort to the END of
     # each tile segment (an extra key bit above kymin), clustering them
@@ -773,7 +793,15 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
     with jax.named_scope("bin.segments"):
         key_span = key_rows * key_alpha * (tpv + 1)
         tile_s = keys_sorted // key_span
-        tri_glob = (tile_s // tiles_per_view) * tpv + keys_sorted % (tpv + 1)
+        if view_row0 is not None:
+            # band-sharded atlas: this call's bin rows start at the traced
+            # global row view_row0; a band may cross view boundaries
+            # (tile_s is the plain tile index — key_span divides out the
+            # alpha doubling)
+            view = (view_row0 + tile_s // n_tiles_x) // rows_per_view
+        else:
+            view = tile_s // tiles_per_view
+        tri_glob = view * tpv + keys_sorted % (tpv + 1)
         # one GROUP of degenerate tail pairs: the kernels' aligned DMAs can
         # read up to GROUP-1 entries past the last tile's segment end
         pair_tri = jnp.concatenate([

@@ -5,9 +5,15 @@ a CPU job pool (SURVEY 2.8). The TPU-native scaling model is pixel-space
 SPMD: the screen is split into horizontal bands, one per device, and EVERY
 device runs the full frame program on its band via shard_map:
 
-  - geometry + binning run per device against the replicated scene (the
-    classic split-frame-rendering trade: duplicated triangle setup buys
-    zero cross-device fragment traffic);
+  - geometry + main-view binning run per device against the replicated
+    scene (the classic split-frame-rendering trade: duplicated triangle
+    setup buys zero cross-device fragment traffic);
+  - the VIEW-INDEPENDENT work is sharded, not replicated: each device
+    bins + rasterizes only a horizontal band of the cascade shadow atlas
+    and the full maps are all_gather'd over ICI (render/frame.py
+    _atlas_band_slice; ~50 MB of maps, sub-ms on a pod slice) — the mesh
+    as a whole renders each cascade once, like the reference's single GPU
+    (RenderFrontend.cpp:760-774), instead of once per device;
   - each band renders with an asymmetric sub-frustum (the band rows of the
     full projection), so pixels match a single-device render exactly;
   - cross-band collectives ride ICI: the exposure histogram is psum-ed

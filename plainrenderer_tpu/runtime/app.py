@@ -165,6 +165,25 @@ class App:
         return image
 
 
+_last_overflow_warn = [0.0]
+
+
+def _warn_overflow(state, where=sys.stderr):
+    """Escalate dropped raster pairs beyond the overlay (ADVICE r3): a
+    nonzero debug counter means geometry or shadow casters were silently
+    dropped this frame — print an actionable warning (rate-limited)."""
+    import time as _time
+
+    ovf = np.asarray(state.debug_counters)
+    if ovf.any() and _time.perf_counter() - _last_overflow_warn[0] > 1.0:
+        _last_overflow_warn[0] = _time.perf_counter()
+        print(f"WARNING: raster pair overflow (main={int(ovf[0])}, "
+              f"shadow={int(ovf[1])}) — geometry/shadows may be missing; "
+              "raise RenderSettings.pair_budget_scale", file=where)
+        return True
+    return bool(ovf.any())
+
+
 def _memory_stats_mb() -> float:
     """Total MB of live device buffers (the allocator-stats analog of the
     reference's memory panel, RenderFrontend.cpp:1990-2011)."""
@@ -178,7 +197,8 @@ def _memory_stats_mb() -> float:
 
 
 def interactive_loop(app: "App", out_dir: Path, overlay: bool,
-                     overlay_scale: int, max_frames: int = 0):
+                     overlay_scale: int, max_frames: int = 0,
+                     command_stream=None):
     """Drive the app from stdin — the InputManager/ImGui-panel analog
     (Runtime/InputManager.cpp; settings panel RenderFrontend.cpp:1829-2011).
 
@@ -190,6 +210,9 @@ def interactive_loop(app: "App", out_dir: Path, overlay: bool,
       gi|taa|vol|aabb|cascades   toggle settings (precompiled variants
                     swap without a compile stall; others hit the cache)
       q             quit
+
+    command_stream: any line iterable (tests inject a scripted list);
+    defaults to sys.stdin.
     """
     import dataclasses
     import queue
@@ -200,12 +223,18 @@ def interactive_loop(app: "App", out_dir: Path, overlay: bool,
     from .overlay import burn_stats
 
     cmds: "queue.Queue[str]" = queue.Queue()
+    source = command_stream if command_stream is not None else sys.stdin
 
     def reader():
-        for line in sys.stdin:
+        for line in source:
             cmds.put(line.strip())
 
-    threading.Thread(target=reader, daemon=True).start()
+    reader_thread = threading.Thread(target=reader, daemon=True)
+    reader_thread.start()
+    if command_stream is not None:
+        # scripted streams finish instantly; joining makes the first frame
+        # see every command deterministically (test determinism)
+        reader_thread.join()
     print("interactive: w/a/s/d [m], look DX DY, gi/taa/vol/aabb/cascades, q",
           file=sys.stderr)
 
@@ -264,6 +293,9 @@ def interactive_loop(app: "App", out_dir: Path, overlay: bool,
                  f"GI:{'ON' if app.settings.sdf_trace.enabled else 'OFF'}"
                  f" TAA:{'ON' if app.settings.taa.enabled else 'OFF'}"
                  f" VOL:{'ON' if app.settings.volumetrics.enabled else 'OFF'}"]
+        if _warn_overflow(app.state):
+            ovf = np.asarray(app.state.debug_counters)
+            stats.append(f"OVERFLOW MAIN {int(ovf[0])} SHADOW {int(ovf[1])}")
         if overlay:
             frame = burn_stats(frame, stats, scale=overlay_scale)
         tmp = out_dir / ".latest.tmp.png"
@@ -353,8 +385,8 @@ def main():
             f"MEM {_memory_stats_mb():7.1f} MB  EXP"
             f" {float(app.state.exposure):.5f}",
         ]
-        ovf = np.asarray(app.state.debug_counters)
-        if ovf.any():  # dropped raster pairs = missing geometry
+        if _warn_overflow(app.state):  # dropped pairs = missing geometry
+            ovf = np.asarray(app.state.debug_counters)
             stats.append(f"OVERFLOW MAIN {int(ovf[0])} SHADOW {int(ovf[1])}")
         if not args.no_overlay:
             frame = burn_stats(frame, stats, scale=args.overlay_scale)

@@ -56,8 +56,12 @@ def pad_sdf_bounding_box(bb_min, bb_max):
     """
     # stays in the caller's namespace: host callers (the SDF baker / asset
     # pipeline) get pure numpy — routing a 6-float pad through the device
-    # costs a dispatch + transfer round-trip (minutes over a tunneled TPU)
-    xp = jnp if not isinstance(bb_min, (np.ndarray, list, tuple)) else np
+    # costs a dispatch + transfer round-trip (minutes over a tunneled TPU).
+    # numpy ONLY when BOTH bounds are host types: a traced jnp array mixed
+    # with a numpy bound must route through jnp or it raises
+    # TracerArrayConversionError under jit (ADVICE r3)
+    host = (np.ndarray, list, tuple)
+    xp = np if (isinstance(bb_min, host) and isinstance(bb_max, host)) else jnp
     bb_min = xp.asarray(bb_min, xp.float32)
     bb_max = xp.asarray(bb_max, xp.float32)
     extent = bb_max - bb_min

@@ -132,6 +132,39 @@ def test_band_fog_close_to_single_device():
     assert (seam <= 2).mean() > 0.97, (seam <= 2).mean()
 
 
+def test_band_alpha_shadow_matches_single_device():
+    """Banded shadow atlas with the opaque/alpha stream split: the alpha
+    casters re-bin on the finer a_sub grid whose band (a_row0 scaling,
+    frame.py) must cover exactly the same pixel rows as the opaque band —
+    a misalignment would shift banner shadows between bands."""
+    from plainrenderer_tpu.assets import procedural
+    from plainrenderer_tpu.config import VolumetricsSettings
+    from plainrenderer_tpu.render import scenebuild
+
+    n = 2
+    cfg = procedural.AtriumConfig(
+        columns_per_row=2, floor_subdiv=2, box_count=2, box_subdiv=1,
+        column_segments=8, banner_count=2)
+    scene_data = procedural.build_atrium_scene(cfg, textured=False)
+    rs = scenebuild.build_render_scene(scene_data)
+    assert rs.alpha_masks is not None  # the banners are alpha-tested
+    scene = frame_mod.scene_to_device(rs)
+
+    settings = RenderSettings(
+        width=128, height=64 * n,
+        sdf_trace=SDFTraceSettings(enabled=False),
+        volumetrics=VolumetricsSettings(enabled=False),
+        exposure_adaption_speed=1000.0,
+        shadows=ShadowSettings(resolution=1024),
+    )
+    img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
+
+    diff = np.abs(img1.astype(np.int32) - img2.astype(np.int32))
+    assert (diff <= 2).mean() > 0.995, (diff <= 2).mean()
+    seam = diff[63:65]
+    assert (seam <= 2).mean() > 0.99, (seam <= 2).mean()
+
+
 def test_band_matches_single_device_with_gi():
     """Same parity check with SDF GI enabled: the GI filter chain + history
     reprojection cross band borders through the 48-row halo exchange."""
