@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import sampling
-from . import brdf
+from . import brdf, env_brdf_fit
 
 DEFAULT_LUT_SIZE = 512
 DEFAULT_SAMPLES = 1024
@@ -48,7 +48,7 @@ def bake_brdf_lut(size: int = DEFAULT_LUT_SIZE, samples: int = DEFAULT_SAMPLES,
     # --- specular term (brdfLut.comp:38-57) ---
     h = sampling.importance_sample_ggx(
         jnp.broadcast_to(xi, (r_grid.shape[0], samples, 2)),
-        r_grid[..., None] * jnp.ones((1, samples, 1)),
+        jnp.broadcast_to(r_grid, (r_grid.shape[0], samples)),
         jnp.broadcast_to(n, (r_grid.shape[0], samples, 3)),
     )  # (N^2, S, 3)
     voh_raw = jnp.sum(v * h, axis=-1)
@@ -98,9 +98,9 @@ def sample_brdf_lut(lut: jnp.ndarray, roughness: jnp.ndarray,
 
     Reference/test/parity helper only: this uses XLA gathers, which are far
     too slow for the per-pixel hot path on TPU (~8 cycles/element). The
-    production frame shades with env_brdf_approx below; the approximation
-    error against this exact bake is bounded by a PARITY.md row
-    (tools/parity_report.py brdf_lut_vs_approx).
+    production frame shades with env_brdf_fitted / diffuse_integral_fitted
+    below (polynomials fitted TO this bake); the fit error against the
+    exact bake is bounded by PARITY.md rows (tools/parity_report.py).
     """
     n = lut.shape[1]
     shape = roughness.shape
@@ -123,15 +123,61 @@ def sample_brdf_lut(lut: jnp.ndarray, roughness: jnp.ndarray,
     return out.reshape((3,) + shape)
 
 
+def _poly6(coef, u, v):
+    """Total-degree-6 bivariate polynomial sum c[i,j] u^i v^j (i+j <= 6),
+    nested Horner: ~27 VPU FMAs, zero gathers. coef is the (7, 7)
+    upper-left-triangular numpy matrix from env_brdf_fit."""
+    res = None
+    for i in range(6, -1, -1):
+        acc = float(coef[i, 6 - i])
+        for j in range(6 - i - 1, -1, -1):
+            acc = acc * v + float(coef[i, j])
+        res = acc if res is None else res * u + acc
+    return res
+
+
+def env_brdf_fitted(roughness: jnp.ndarray, nov: jnp.ndarray):
+    """Production split-sum terms (fc_k "bias", k "energy") — polynomials
+    fitted TO the exact 1024-sample bake above (tools/fit_env_brdf.py), in
+    the cliff-aligned coordinate s = NoV / (r + NoV) where the bake is
+    smooth. |fit - bake| is bounded in PARITY.md (mean ~0.002/0.003, max
+    ~0.09/0.015 for x/y); the published Karis polynomial (env_brdf_approx)
+    was fitted against UE4's Visibility convention and misses THIS
+    reference's bake by up to 0.63, so it is not used for shading.
+
+    Matches brdfLut.comp channels x/y as consumed by triangle.frag:241
+    (texture(brdfLutTexture, vec2(r, NoV)).xy).
+    """
+    s = nov / (roughness + nov + 1e-6)
+    bias = jnp.clip(_poly6(env_brdf_fit.BIAS_SV, s, nov), 0.0, 1.0)
+    k = jnp.clip(_poly6(env_brdf_fit.K_RS, roughness, s), 1e-4, 1.0)
+    return bias, k
+
+
+_Z_COEFS = (env_brdf_fit.Z_RN_0, env_brdf_fit.Z_RN_1,
+            env_brdf_fit.Z_RN_2, env_brdf_fit.Z_RN_3)
+
+
+def diffuse_integral_fitted(roughness: jnp.ndarray, nov: jnp.ndarray,
+                            diffuse_brdf: int) -> jnp.ndarray:
+    """Production diffuse split-sum integral — the LUT z channel
+    (brdfLut.comp:59-96, one bake variant per diffuse mode) as a fitted
+    poly6(r, NoV). Consumed exactly like triangle.frag:251-281
+    diffuseBRDFIntegral = brdfLut.z (the mode-3 albedo-dependent
+    multi-scatter part stays analytic in the caller, as in the reference).
+    """
+    z = _poly6(_Z_COEFS[diffuse_brdf], roughness, nov)
+    return jnp.clip(z, 0.0, 1.0)
+
+
 def env_brdf_approx(roughness: jnp.ndarray, nov: jnp.ndarray):
     """Analytic split-sum approximation (Karis, "Physically Based Material
     on Mobile") returning (fc_k, k) matching the LUT's x/y channels.
 
-    Used by the production shading path (ops/shade.py), where a per-pixel
-    LUT gather would be prohibitively slow on TPU. The deviation from the
-    reference's 1024-sample 512^2 bake (brdfLut.comp via bake_brdf_lut) is
-    measured over the full (roughness, NoV) grid and reported in PARITY.md;
-    the worst error sits at grazing angles on rough metals.
+    NOT the production path: the Karis fit targets UE4's Visibility
+    convention (alpha = r^2) and deviates from this reference's bake by up
+    to 0.63 at grazing rough metals — kept only as the published baseline
+    that PARITY.md quantifies against env_brdf_fitted.
     """
     x = 1.0 - roughness
     y = nov

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..utils import sh
 from ..utils.color import ycocg_to_linear
 from . import brdf
-from .brdf_lut import env_brdf_approx
+from .brdf_lut import diffuse_integral_fitted, env_brdf_fitted
 
 PI = jnp.pi
 
@@ -44,6 +44,9 @@ class ShadingConfig:
     # the reference's trilinear/aniso samplers,
     # RenderFrontend.cpp:1300-1397; each level costs extra window taps)
     texture_filter: int = 0
+    # window the tile's SECOND material too (scalar-gated second window;
+    # texture.py v2) — per-pixel sampling coverage on mixed-material tiles
+    texture_two_mat: bool = True
 
 
 def reflected_energy_average(roughness):
@@ -159,13 +162,20 @@ def shade_forward(
     sun_radiance = (nol * sun_shadow)[None] * jnp.asarray(
         sun_color, jnp.float32).reshape(3, 1, 1)
 
-    # split-sum terms (analytic approx of brdfLut.comp channels x/y; the z
-    # diffuse integral is approximated by its dominant Fresnel factor)
-    lut_x, lut_y = env_brdf_approx(r, nov)
-    _, lut_y_in = env_brdf_approx(r, nol)
-    f_in_out_004 = (1.0 - brdf.f_schlick(0.04, 1.0, nov)) * (
-        1.0 - brdf.f_schlick(0.04, 1.0, nol))
-    diffuse_integral = (1.0 - brdf.f_schlick(0.04, 1.0, nov)) * 0.94291
+    # split-sum terms: polynomials fitted to the exact brdfLut.comp bake
+    # (brdf_lut.env_brdf_fitted docstring; triangle.frag:241 samples the
+    # LUT at (r, NoV))
+    lut_x, lut_y = env_brdf_fitted(r, nov)
+    _, lut_y_in = env_brdf_fitted(r, nol)
+    # diffuseBRDFIntegral = brdfLut.z (triangle.frag:251-281); mode 3 adds
+    # the analytic albedo-dependent multiscatter part the LUT can't hold
+    diffuse_integral = diffuse_integral_fitted(
+        r, nov, config.diffuse_brdf)[None]
+    if config.diffuse_brdf == 3:
+        multi_integral = (0.1159 * r * (2.0 * PI)
+                          * (1.0 - brdf.f_schlick(0.04, 1.0, nov)) * 0.94291)
+        diffuse_integral = jnp.minimum(
+            diffuse_integral + diffuse_color * multi_integral[None], 1.0)
 
     # --- direct diffuse (triangle.frag:243-282) ---
     if config.diffuse_brdf == 0:
@@ -197,7 +207,7 @@ def shade_forward(
             ycocg_to_linear(jnp.stack(
                 [irr_y, indirect_cocg[0], indirect_cocg[1]], axis=-1)), -1, 0)
         irradiance = jnp.maximum(irradiance, 0.0)
-        diffuse_indirect = irradiance * diffuse_color * diffuse_integral[None]
+        diffuse_indirect = irradiance * diffuse_color * diffuse_integral
 
         dom = sh.dominant_direction_from_sh_l1(jnp.moveaxis(indirect_y_sh, 0, -1))
         dom = jnp.moveaxis(dom, -1, 0)
@@ -209,8 +219,8 @@ def shade_forward(
         nol_i = jnp.maximum(_dot(n, l_ind), 0.0)
         voh_i = jnp.maximum(_dot(v, h_ind), 0.0)
         single_i = brdf.ggx_single_scattering(r_ind, f0, noh_i, nov, voh_i, nol_i)
-        lut_xi, lut_yi = env_brdf_approx(r_ind, nov)
-        _, lut_yi_in = env_brdf_approx(r_ind, nol_i)
+        lut_xi, lut_yi = env_brdf_fitted(r_ind, nov)
+        _, lut_yi_in = env_brdf_fitted(r_ind, nol_i)
         multi_i = specular_multiscatter_lobe(
             config.direct_multiscatter_brdf if config.use_indirect_multiscatter
             else 3, r_ind, nol_i, f0, single_i, lut_yi, lut_yi_in)
@@ -225,7 +235,7 @@ def shade_forward(
         ambient = 0.003 * sun_strength_exposed
         single_amb = lut_x + (lut_y - lut_x) * f0
         lighting_indirect = (
-            ambient * diffuse_color * diffuse_integral[None]
+            ambient * diffuse_color * diffuse_integral
             + single_amb * ambient)
 
     color = (diffuse_direct + specular_direct) * sun_strength_exposed \
