@@ -448,8 +448,9 @@ def _sample_history(history_packed, motion, width, height, tech: int,
     toy = ty + w2y / jnp.maximum(wby, 1e-6)
 
     if tech == 0:  # bilinear
-        return resample_history_taps(history_packed, base,
-                                     interpret=interpret)
+        with jax.named_scope("taa.history_taps"):
+            return resample_history_taps(history_packed, base,
+                                         interpret=interpret)
 
     if tech == 1:  # full 16-tap (taps land on texel centers)
         px = [tx - 1, tx, tx + 1, tx + 2]
@@ -502,8 +503,9 @@ def _sample_history(history_packed, motion, width, height, tech: int,
     # tech 4: CoD 1-tap — single bilinear tap at the combined position +
     # cross reconstruction from the CURRENT frame's neighborhood
     coords = jnp.stack([tox, toy])
-    taps, ok = resample_history_taps(history_packed, coords,
-                                     interpret=interpret)
+    with jax.named_scope("taa.history_taps"):
+        taps, ok = resample_history_taps(history_packed, coords,
+                                         interpret=interpret)
     center = nb[1][1]
     total = (w0x * wby + wbx * w0y + wbx * wby + wbx * w3y + w3x * wby)
     hist = (

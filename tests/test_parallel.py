@@ -145,7 +145,10 @@ def test_band_alpha_shadow_matches_single_device():
     cfg = procedural.AtriumConfig(
         columns_per_row=2, floor_subdiv=2, box_count=2, box_subdiv=1,
         column_segments=8, banner_count=2)
-    scene_data = procedural.build_atrium_scene(cfg, textured=False)
+    # textured=True: alpha masks come from the banner texture's alpha
+    # channel (assets/textures.build_alpha_mask), untextured scenes have
+    # no alpha-tested casters at all
+    scene_data = procedural.build_atrium_scene(cfg)
     rs = scenebuild.build_render_scene(scene_data)
     assert rs.alpha_masks is not None  # the banners are alpha-tested
     scene = frame_mod.scene_to_device(rs)

@@ -151,10 +151,10 @@ def main():
         duv = jnp.zeros((4, ph, pw), jnp.float32)
         mid = jnp.zeros((ph, pw), jnp.float32)
         val = jnp.ones((ph, pw), bool)
-        mat_tex = jnp.zeros((8, 5), jnp.int32)
-        tex_info = jnp.zeros((16, 8), jnp.float32)
-        w0 = jnp.zeros((1 << 22,), jnp.int32)
-        w1 = jnp.zeros((1 << 22,), jnp.int32)
+        mat_tex = jnp.zeros((8,), jnp.int32)
+        tex_info = jnp.ones((8 * MAX_MIPS, 4), jnp.int32)
+        w0 = jnp.zeros((1 << 14, 8, 128), jnp.int32)
+        w1 = jnp.zeros((1 << 14, 8, 128), jnp.int32)
 
         def tex_fn(uv, duv, mid, val, w0, w1):
             return texture_ops.sample_materials(
