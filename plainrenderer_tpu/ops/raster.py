@@ -983,12 +983,6 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         # uncovered) is the max-identity, so init == bit-pattern copy
         acc_ref[...] = pltpu.bitcast(init_ref[...], jnp.int32).reshape(
             acc_ref.shape)
-    # identity used to transpose per-pair lane rows into sublane columns on
-    # the MXU (one K=128 pass per group); loop-invariant
-    gi = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (GROUP, GROUP), 1)
-    ident = (gi == gj).astype(jnp.float32)
-
     def group_dma(slot, g):
         return pltpu.make_async_copy(
             edges_ref.at[:, pl.ds(base + g * GROUP, GROUP)],
@@ -1009,16 +1003,16 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
         group_dma(slot, g).wait()
         mat = edge_buf[slot]  # (n_rows, GROUP): planes x [a, b, c, pad]
-        # ALL plane coefficients into sublane space in one K=128 MXU pass:
-        # cols[:, 4p + k] = coefficient k of plane p for the sublane's pair.
-        # The per-plane evaluation below is then plain VPU broadcast-FMAs —
-        # the former per-(plane, sub-block) K=4 matmuls ran the MXU at
-        # 4/128 utilization and dominated the kernel (~8k of ~13k cycles
-        # per block at bench sizes).
-        cols = jax.lax.dot_general(
-            ident, mat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # (GROUP, n_rows)
+        # ALL plane coefficients into sublane space with Mosaic's native
+        # sublane<->lane transpose: cols[:, 4p + k] = coefficient k of
+        # plane p for the sublane's pair. The per-plane evaluation below is
+        # then plain VPU broadcast-FMAs. (History: per-(plane, sub-block)
+        # K=4 matmuls ran the MXU at 4/128 utilization; round 3 replaced
+        # them with one K=128 identity matmul at HIGHEST precision; the
+        # native transpose frees the MXU entirely and skips the 3-pass f32
+        # precision decomposition — verified exact on-chip for (16,128) and
+        # (40,128) f32 inputs.)
+        cols = mat.T  # (GROUP, n_rows)
 
         # mask rows outside this tile's [start, start+count) segment
         row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)

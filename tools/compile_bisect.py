@@ -8,7 +8,7 @@ shadow atlas) without building the scene itself — shapes are what matter
 for compile time.
 
 Usage: python tools/compile_bisect.py [--stage all|geom|pairs|gather|
-       depth8|depth8a|gbuf|gbufa|texture|sdfgi|taa]
+       depth8|depth8a|depth2a|gbuf|gbufa|texture|sdfgi|pcf|taa|matlut]
 """
 
 import argparse
@@ -53,6 +53,10 @@ def main():
     rng = np.random.default_rng(0)
 
     def want(s):
+        if s == "depth8a":
+            # NOT in the current frame (alpha shadow casters raster at
+            # sub=2); 302 s Mosaic compile measured — explicit only
+            return s in stages
         return "all" in stages or s in stages
 
     if want("geom"):
@@ -162,24 +166,88 @@ def main():
                 n_mips=MAX_MIPS, mip_bias=-1.0, trilinear=True, aniso=False)
         t("texture.sample_materials", tex_fn, uv, duv, mid, val, w0, w1)
 
+    if want("depth2a"):
+        # the frame's ACTUAL alpha shadow raster: sub=2 accumulate pass
+        # (frame.py a_sub path), not the long-gone sub=8 variant
+        a_sub = 2
+        a_nty = 3 * (sres // (raster.TILE_H * a_sub))
+        init = jnp.zeros((a_nty * a_sub * raster.TILE_H, sres), jnp.float32)
+
+        def depth_alpha_acc(e, pr, init):
+            return raster.rasterize_depth(e, pr, a_nty, sres // raster.TILE_W,
+                                          alpha_masks=masks, sub=a_sub,
+                                          init_depth=init)
+        t("rasterize_depth sub=2 a+acc", depth_alpha_acc, edges32, pairs,
+          init)
+
     if want("sdfgi"):
         from plainrenderer_tpu.ops import sdfgi
         gh, gw = 544, 960
-        vol = jnp.zeros((128, 128, 128), jnp.bfloat16)
-        alb = jnp.zeros((128, 128, 128), jnp.int32)
+        vol = sdfgi.quantize_sdf_volume(
+            jnp.ones((160, 160, 160), jnp.float32), 0.25)
+        alb = sdfgi.pack_albedo_volume(
+            jnp.zeros((160, 160, 160, 3), jnp.float32))
         wpos = jnp.zeros((3, gh, gw), jnp.float32)
+        coarse = sdfgi.build_coarse_tables(vol, alb, (160, 160, 160))
 
-        def gi_fn(wpos, vol, alb):
+        def gi_fn(wpos, vol, alb, coarse):
             return sdfgi.trace_gi(
                 wpos, wpos, wpos, jnp.ones((gh, gw), bool),
                 jnp.zeros((3, 32, 64), jnp.float32), vol, alb,
                 jnp.zeros(3, jnp.float32), 0.25,
-                jnp.asarray([128.0, 128.0, 128.0]),
+                jnp.asarray([160.0, 160.0, 160.0]),
                 jnp.asarray([0.0, -1.0, 0.0]), jnp.ones(3, jnp.float32),
-                jnp.asarray(1.0, jnp.float32), steps=128, influence=7.5,
-                strict=False, dims_zyx=(128, 128, 128),
-                coarse_fallback=True, coarse_tables=None)
-        t("sdfgi.trace_gi", gi_fn, wpos, vol, alb)
+                jnp.asarray(1.0, jnp.float32), steps=128, influence=18.75,
+                strict=False, dims_zyx=(160, 160, 160),
+                coarse_fallback=True, coarse_tables=coarse)
+        t("sdfgi.trace_gi", gi_fn, wpos, vol, alb, coarse)
+
+    if want("pcf"):
+        from plainrenderer_tpu.ops import shadow
+        pw, ph = raster.pad_resolution(1920, 1080)
+        wpos = jnp.zeros((3, ph, pw), jnp.float32)
+        ld = jnp.ones((ph, pw), jnp.float32)
+        smaps = jnp.zeros((shadow.MAX_CASCADES, sres, sres), jnp.float32)
+        cmats = jnp.tile(jnp.eye(4, dtype=jnp.float32),
+                         (shadow.MAX_CASCADES, 1, 1))
+        cscales = jnp.ones((shadow.MAX_CASCADES, 2), jnp.float32)
+        splits = jnp.ones((shadow.MAX_CASCADES,), jnp.float32)
+
+        def pcf_fn(wpos, ld, smaps, cmats, cscales, splits):
+            return shadow.shadow_resolve(wpos, ld, ld, smaps, cmats,
+                                         cscales, splits, 3, taps=12)
+        t("shadow.resolve_pcf", pcf_fn, wpos, ld, smaps, cmats, cscales,
+          splits)
+
+    if want("taa"):
+        from plainrenderer_tpu.ops import taa as taa_ops
+        pw, ph = raster.pad_resolution(1920, 1080)
+        hist = jnp.zeros((2, ph, pw), jnp.int32)
+        motion = jnp.zeros((2, ph, pw), jnp.float32)
+
+        def taa_fn(hist, motion):
+            return taa_ops.history_resample(hist, motion, 1920, 1080)
+        t("taa.history_resample", taa_fn, hist, motion)
+
+        gih, giw = 544, 960
+        gih_e = gih + 96
+        planes = jnp.zeros((3, gih_e, giw), jnp.int32)
+        gmotion = jnp.zeros((2, gih_e, giw), jnp.float32)
+
+        def taa_gi_fn(planes, gmotion):
+            return taa_ops.resample_packed_planes(planes, gmotion, giw, gih)
+        t("taa.resample_packed_planes", taa_gi_fn, planes, gmotion)
+
+    if want("matlut"):
+        from plainrenderer_tpu.ops import post
+        pw, ph = raster.pad_resolution(1920, 1080)
+        table = jnp.zeros((8, 8), jnp.float32)
+        mid = jnp.zeros((ph, pw), jnp.float32)
+        val = jnp.ones((ph, pw), bool)
+
+        def mat_fn(table, mid, val):
+            return post.material_lookup(table, mid, val)
+        t("post.material_lookup", mat_fn, table, mid, val)
 
 
 if __name__ == "__main__":
