@@ -933,6 +933,20 @@ def _pixel_basis(tile_y, tile_x):
     return jnp.concatenate([x, y, ones, zeros], axis=0)  # (4, PX)
 
 
+def _kernel_recip(x):
+    """1/x for x > 0 without an f32 divide: rsqrt(x)^2 + one Newton step.
+
+    Mosaic's exact f32 divide is a COMPILE-TIME bomb in combination with
+    winner tracking / large sub unrolls: the frame's alpha G-buffer kernel
+    compiled in 164 s with `1.0 / x` and 3.7 s with this formulation (and
+    the r3 alpha-depth sub=8 monster, 302 s, drops to 13 s). The Newton
+    refinement r*(2 - x*r) brings rsqrt's approximation back to ~1 ulp, so
+    perspective-correct attributes and alpha UVs keep test tolerances."""
+    r = jax.lax.rsqrt(x)
+    r = r * r
+    return r * (2.0 - x * r)
+
+
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
@@ -1096,12 +1110,11 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             if masks_ref is None:
                 commit(cov0)
             else:
-                @pl.when(has_alpha)
-                def _():
+                def alpha_cov():
                     uw = plane_eval(4)
                     vw = plane_eval(5)
                     iw = plane_eval(6)  # screen-affine 1/w (> 0 in view)
-                    inv = 1.0 / jnp.where(iw > 1e-12, iw, 1.0)
+                    inv = _kernel_recip(jnp.where(iw > 1e-12, iw, 1.0))
                     u = uw * inv
                     v = vw * inv
                     # wrap addressing, 64x64 nearest
@@ -1120,11 +1133,28 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                     word = jnp.concatenate(words, axis=1)  # (GROUP, PX)
                     bit = (word >> (ix & 31)) & 1
                     passes = (slot_col < 0.5) | (bit == 1)
-                    commit(cov0 & passes)
+                    return cov0 & passes
 
-                @pl.when(~has_alpha)
-                def _():
-                    commit(cov0)
+                if track_winner:
+                    # UNGATED: a pl.when(has_alpha) gate around the alpha
+                    # body is the last surviving ingredient of the Mosaic
+                    # compile bomb when combined with winner tracking
+                    # (147 s gated vs 3.7 s ungated at bench shapes, NR
+                    # divide already applied). Since the r3 opaque/alpha
+                    # stream split this kernel only ever rasterizes the
+                    # alpha-only stream, so the gate saved nothing anyway.
+                    commit(alpha_cov())
+                else:
+                    # depth-only cascades keep the gate: that combination
+                    # is compile-stable (3 s) and opaque groups skip the
+                    # UV/gather work
+                    @pl.when(has_alpha)
+                    def _():
+                        commit(alpha_cov())
+
+                    @pl.when(~has_alpha)
+                    def _():
+                        commit(cov0)
 
         for s in range(sub):
             if row_skip:
@@ -1252,7 +1282,13 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
                     acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
                     masks_ref=None, sub=1, row_skip=False):
-    """Full visibility + attribute resolve for the main view."""
+    """Full visibility + attribute resolve for the main view (fused).
+
+    NOTE: never instantiated with masks_ref — the alpha variant runs the
+    SPLIT pipeline (_winner_alpha_kernel + _attr_resolve_kernel below):
+    Mosaic's compile time explodes combinatorially when the alpha-test
+    gather block and the attribute one-hot matmuls share one kernel
+    (885 s measured at bench shapes vs 3.7 s + 5 s split)."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, sems, track_winner=True,
                         masks_ref=masks_ref, sub=sub,
@@ -1274,7 +1310,13 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     acc_flat = acc_ref[...]  # (sub, PX)
     valid_flat = acc_flat != 0
     slot_flat = acc_flat & SLOT_MASK  # slot == stream index relative to base
+    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem,
+                base=base, n_groups=n_groups, valid_flat=valid_flat,
+                slot_flat=slot_flat, ty=ty, tx=tx, sub=sub)
 
+
+def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem, *,
+                base, n_groups, valid_flat, slot_flat, ty, tx, sub):
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
 
     def sg_body(sg, _):
@@ -1332,7 +1374,7 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                 val_flat.reshape(TILE_H, TILE_W)
 
         inv_w = ev(0)
-        w = jnp.where(valid, 1.0 / jnp.maximum(inv_w, 1e-12), 0.0)
+        w = jnp.where(valid, _kernel_recip(jnp.maximum(inv_w, 1e-12)), 0.0)
         u_over_w = ev(3)
         v_over_w = ev(6)
         u = u_over_w * w
@@ -1368,20 +1410,124 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
             prev_x = ev(30) * w
             prev_y = ev(33) * w
             prev_w = ev(36) * w
-            inv_pw = 1.0 / jnp.where(jnp.abs(prev_w) > 1e-9, prev_w, 1.0)
+            # signed reciprocal: NR formula needs x > 0, so factor the sign
+            ok_w = jnp.abs(prev_w) > 1e-9
+            inv_pw = jnp.where(
+                ok_w,
+                jnp.sign(prev_w)
+                * _kernel_recip(jnp.where(ok_w, jnp.abs(prev_w), 1.0)),
+                1.0)
             out2d(_CH_PREV, jnp.where(valid, prev_x * inv_pw, 0.0))
             out2d(_CH_PREV + 1, jnp.where(valid, prev_y * inv_pw, 0.0))
 
 
-def _gbuffer_kernel_alpha(start_ref, count_ref, edges_ref, attrs_ref,
-                          masks_ref, depth_ref, vis_ref, gbuf_ref,
-                          acc_ref, coeff_ref, edge_buf, attr_buf, sems,
-                          attr_sem, sub=1, row_skip=False):
-    _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
-                    depth_ref, vis_ref, gbuf_ref,
-                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=masks_ref, sub=sub,
-                    row_skip=row_skip)
+def _winner_alpha_kernel(start_ref, count_ref, edges_ref, masks_ref,
+                         depth_ref, vis_ref,
+                         acc_ref, edge_buf, sems, *, sub=1, row_skip=False):
+    """Stage 1 of the SPLIT alpha G-buffer: alpha-tested visibility with
+    winner tracking. Splitting keeps BOTH kernels in Mosaic's fast compile
+    class (see _gbuffer_kernel docstring)."""
+    _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
+                        acc_ref, edge_buf, sems, track_winner=True,
+                        masks_ref=masks_ref, sub=sub, row_skip=row_skip)
+
+
+def _attr_resolve_kernel(start_ref, count_ref, attrs_ref, vis_ref,
+                         gbuf_ref, coeff_ref, attr_buf, attr_sem, *, sub=1):
+    """Stage 2 of the split alpha G-buffer: attribute fetch + plane eval.
+
+    The per-pixel winner slots arrive as stage 1's vis output (slot >= 0
+    or -1): valid = vis >= 0 and slot == vis reconstruct exactly the
+    fused kernel's acc-derived masks ((slot >> 7) == sg is never true for
+    vis == -1, so invalid pixels select nothing). Identical math to the
+    fused kernel's attribute phase."""
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile = ty * pl.num_programs(1) + tx
+    start = start_ref[tile]
+    count = count_ref[tile]
+    base = pl.multiple_of(start // GROUP * GROUP, GROUP)
+    lead = start - base
+    n_groups = jnp.where(count > 0, (lead + count + GROUP - 1) // GROUP, 0)
+    vis2d = vis_ref[...]  # (sub * TILE_H, TILE_W)
+    # same retiling the fused kernel does in reverse ((sub, PX) ->
+    # (sub*16, 128)): row-order-preserving, Mosaic-supported for i32
+    vis_flat = vis2d.reshape(sub, PX_PER_TILE)
+    valid_flat = vis_flat >= 0
+    slot_flat = vis_flat
+    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem,
+                base=base, n_groups=n_groups, valid_flat=valid_flat,
+                slot_flat=slot_flat, ty=ty, tx=tx, sub=sub)
+
+
+def _rasterize_gbuffer_split(pair_edges, pair_attrs, pairs: PairLists,
+                             n_tiles_y: int, n_tiles_x: int,
+                             alpha_masks, sub: int, row_skip: bool,
+                             interpret: bool):
+    """Alpha-tested G-buffer as two pallas_calls (see _gbuffer_kernel)."""
+    n_rows = pair_edges.shape[0]
+    assert n_rows == 32, n_rows
+    n_attr = pair_attrs.shape[0]
+    n_chan = GBUF_CHANNELS + (2 if n_attr >= NATTR_PREV else 0)
+    h = n_tiles_y * sub * TILE_H
+    w = n_tiles_x * TILE_W
+
+    grid_spec1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles_y, n_tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(alpha_masks.shape, lambda ty, tx, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((sub * TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sub, PX_PER_TILE), jnp.int32),
+            pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, vis = pl.pallas_call(
+        functools.partial(_winner_alpha_kernel, sub=sub, row_skip=row_skip),
+        grid_spec=grid_spec1,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pairs.tile_start, pairs.tile_count, pair_edges, alpha_masks)
+
+    grid_spec2 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles_y, n_tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((sub * TILE_H, TILE_W), lambda ty, tx, *_: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_chan, sub * TILE_H, TILE_W),
+                         lambda ty, tx, *_: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sub, n_attr, PX_PER_TILE), jnp.float32),
+            pltpu.VMEM((n_attr, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    (gbuf,) = pl.pallas_call(
+        functools.partial(_attr_resolve_kernel, sub=sub),
+        grid_spec=grid_spec2,
+        out_shape=[jax.ShapeDtypeStruct((n_chan, h, w), jnp.float32)],
+        interpret=interpret,
+    )(pairs.tile_start, pairs.tile_count, pair_attrs, vis)
+    return depth, vis, gbuf
 
 
 @jax.named_scope("raster.gbuffer")
@@ -1399,9 +1545,15 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
     Bitangent and static-scene motion are reconstructed downstream (see
     the NATTR note at the top of this module).
     """
-    alpha = alpha_masks is not None
+    if alpha_masks is not None:
+        # alpha runs the two-kernel split — fusing the alpha-test gather
+        # with the attribute matmuls put Mosaic in a pathological compile
+        # regime (885 s at bench shapes; split: ~9 s total)
+        return _rasterize_gbuffer_split(
+            pair_edges, pair_attrs, pairs, n_tiles_y, n_tiles_x,
+            alpha_masks, sub, row_skip, interpret)
     n_rows = pair_edges.shape[0]
-    assert n_rows == (32 if alpha else 16), n_rows
+    assert n_rows == 16, n_rows
     n_attr = pair_attrs.shape[0]
     n_chan = GBUF_CHANNELS + (2 if n_attr >= NATTR_PREV else 0)
     in_specs = [
@@ -1417,11 +1569,6 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         pltpu.SemaphoreType.DMA,
     ]
     inputs = [pairs.tile_start, pairs.tile_count, pair_edges, pair_attrs]
-    if alpha:
-        in_specs.append(pl.BlockSpec(
-            alpha_masks.shape, lambda ty, tx, *_: (0, 0),
-            memory_space=pltpu.VMEM))
-        inputs.append(alpha_masks)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles_y, n_tiles_x),
@@ -1442,9 +1589,7 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
     h = n_tiles_y * sub * TILE_H
     w = n_tiles_x * TILE_W
     depth, vis, gbuf = pl.pallas_call(
-        functools.partial(
-            _gbuffer_kernel_alpha if alpha else _gbuffer_kernel, sub=sub,
-            row_skip=row_skip),
+        functools.partial(_gbuffer_kernel, sub=sub, row_skip=row_skip),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.float32),

@@ -222,7 +222,7 @@ def main():
     if want("taa"):
         from plainrenderer_tpu.ops import taa as taa_ops
         pw, ph = raster.pad_resolution(1920, 1080)
-        hist = jnp.zeros((2, ph, pw), jnp.int32)
+        hist = jnp.zeros((ph, pw), jnp.int32)  # r11g11b10-packed history
         motion = jnp.zeros((2, ph, pw), jnp.float32)
 
         def taa_fn(hist, motion):

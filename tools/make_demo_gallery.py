@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Render the committed courtyard demo asset into gallery/demo/.
+
+VERDICT r3 task 4: the real-asset demo (assets/demo/courtyard.*, the full
+reference asset contract: glTF -> .plain + baked SDF DDS + alpha-tested
+ivy, AssetPipeline/mainPipeline.cpp:29-71) must be SHOWN flying, not just
+committed. This renders it through the same App path a user runs
+(runtime/app.py), GI on, from three angles.
+
+Usage: [JAX_PLATFORMS=cpu] python tools/make_demo_gallery.py
+       [--width 512 --height 288] [--frames 8]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=288)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default=str(REPO / "gallery" / "demo"))
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from plainrenderer_tpu.assets.image_io import save_image
+    from plainrenderer_tpu.config import (RenderSettings, SDFTraceSettings,
+                                          ShadowSettings)
+    from plainrenderer_tpu.runtime.app import App
+
+    interpret = jax.devices()[0].platform == "cpu"
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    settings = RenderSettings(
+        width=args.width, height=args.height,
+        exposure_adaption_speed=1000.0,
+        sdf_trace=SDFTraceSettings(trace_steps=48),
+        shadows=ShadowSettings(resolution=1024))
+    app = App(settings, str(REPO / "assets" / "demo" / "courtyard.plain"),
+              with_gi=True, interpret=interpret)
+
+    lo = np.asarray(app.scene["object_bb_min"]).min(0)
+    hi = np.asarray(app.scene["object_bb_max"]).max(0)
+    center = (lo + hi) * 0.5
+    ext = hi - lo
+
+    # (name, position, yaw_deg, pitch_deg): CameraController angles are in
+    # DEGREES; yaw 0 looks toward +x; the world is y-down, so negative
+    # pitch looks downward (shell.py forward_vector)
+    shots = [
+        ("courtyard", [lo[0] - 0.55 * ext[0], center[1] - 0.05 * ext[1],
+                       center[2]], 0.0, 4.0),
+        ("courtyard_ivy", [lo[0] - 0.25 * ext[0], center[1],
+                           lo[2] + 0.2 * ext[2]], 20.0, 2.0),
+        ("courtyard_high", [lo[0] - 0.7 * ext[0], lo[1] - 0.25 * ext[1],
+                            center[2]], 0.0, -18.0),
+    ]
+    from plainrenderer_tpu.render.state import initial_state
+
+    for name, pos, yaw, pitch in shots:
+        app.camera.position = np.asarray(pos, np.float32)
+        app.camera.yaw = float(yaw)
+        app.camera.pitch = float(pitch)
+        app.state = initial_state(settings.width, settings.height)
+        t0 = time.time()
+        img = None
+        for _ in range(args.frames):
+            img = np.asarray(app.run_frame())
+        path = out_dir / f"{name}.png"
+        save_image(path, img)
+        print(f"{name}: {time.time() - t0:.1f}s mean={img.mean():.1f} "
+              f"std={img.std():.1f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
