@@ -256,6 +256,215 @@ def check_shadow_taa_bloom():
         "< 0.25 / > 0.75", umbra < 0.25 and lit > 0.75)
 
 
+def check_courtyard_textures():
+    """Real-art texture fidelity on the committed courtyard asset
+    (VERDICT r3 task 5): (a) dominant-material window error on MIXED
+    tiles vs dense per-pixel trilinear (triangle.frag:177-201), (b) the
+    64x64 alpha mask vs dense per-pixel albedo alpha
+    (depthPrepass.frag:28-31)."""
+    import jax.numpy as jnp
+
+    from plainrenderer_tpu.assets.plain_format import load_binary_scene
+    from plainrenderer_tpu.assets.textures import MAX_MIPS
+    from plainrenderer_tpu.ops import post, raster
+    from plainrenderer_tpu.ops import texture as tex_ops
+    from plainrenderer_tpu.render import frame as frame_mod
+    from plainrenderer_tpu.render import scenebuild
+    from plainrenderer_tpu.render.scenebuild import _load_texture_images
+    from plainrenderer_tpu.scene import camera as cam_mod
+
+    asset = REPO / "assets" / "demo" / "courtyard.plain"
+    scene_data = load_binary_scene(str(asset))
+    rs = scenebuild.build_render_scene(scene_data)
+    scene = frame_mod.scene_to_device(rs)
+
+    # ground-truth source images per material (same loader the pool uses)
+    mat_images = {}
+    for oi, obj in enumerate(scene_data.objects):
+        mesh = scene_data.meshes[obj.mesh_index]
+        images = getattr(mesh, "texture_images", None)
+        if images is None:
+            paths = getattr(mesh, "texture_paths", None)
+            if paths is not None and paths.albedo:
+                images = _load_texture_images(paths)
+        if images is not None and images.albedo is not None:
+            mat_images[oi] = np.asarray(images.albedo, np.float32)
+
+    # camera: outside the -x face aiming at the centroid (test_demo_asset)
+    W_, H_ = 256, 128
+    lo = np.asarray(rs.object_bb_min).min(0)
+    hi = np.asarray(rs.object_bb_max).max(0)
+    center = (lo + hi) * 0.5
+    pos = np.asarray([lo[0] - 0.6 * (hi[0] - lo[0]), center[1], center[2]],
+                     np.float32)
+    # yaw 0 looks toward +x in the y-down world (test_demo_asset camera)
+    ext = cam_mod.extrinsic_from_angles(pos, pitch_deg=0.0, yaw_deg=0.0)
+    cam = frame_mod.camera_arrays(ext.position, ext.forward, ext.right,
+                                  ext.up)
+    view = frame_mod._view_matrix(cam)
+    from plainrenderer_tpu.config import RenderSettings
+    settings = RenderSettings(width=W_, height=H_)
+    proj = frame_mod._projection(settings, full_height=H_)
+    view_proj = proj @ view
+
+    pw, ph = raster.pad_resolution(W_, H_)
+    m_sub = frame_mod.main_bin_sub(ph)
+    nty = ph // (raster.TILE_H * m_sub)
+    ntx = pw // raster.TILE_W
+    t_count = scene["corners"].shape[0]
+    setup = raster.geometry_setup(
+        scene["corners"], scene["corner_uvs"], scene["corner_normals"],
+        scene["corner_tangents"], scene["corner_bitangents"],
+        scene["tri_material"], jnp.ones((t_count,), bool),
+        view_proj, view_proj, pw, ph, cull="back",
+        near_w=frame_mod.NEAR_PLANE, tri_alpha_slot=scene["tri_alpha_slot"],
+        bin_rows=m_sub)
+    budget = (t_count * 4 // raster.GROUP + 64) * raster.GROUP
+    pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
+                               pair_budget=budget, interpret=True)
+    pe, pa = raster.gather_pair_setups(setup, pairs, True)
+    depth, vis, gbuf = raster.rasterize_gbuffer(
+        pe, pa, pairs, nty, ntx, interpret=True,
+        alpha_masks=scene["alpha_masks"], sub=m_sub)
+    assert int(np.asarray(pairs.overflow)) == 0
+    valid = np.asarray(vis) >= 0
+    mat_packed = np.asarray(gbuf[raster._CH_MAT])
+    mat_id = np.floor(mat_packed * 0.5)
+    uv = np.asarray(gbuf[raster._CH_U:raster._CH_U + 2])
+    duv = np.asarray(gbuf[raster._CH_DUDX:raster._CH_DUDX + 4])
+
+    bias = -1.0  # frame default: TAA enabled + mip bias
+    ts = np.asarray(tex_ops.sample_materials(
+        jnp.asarray(uv), jnp.asarray(duv), jnp.asarray(mat_id),
+        jnp.asarray(valid), scene["mat_tex"], scene["tex_info"],
+        scene["tex_word0"], scene["tex_word1"],
+        n_mips=MAX_MIPS, mip_bias=bias, interpret=True))
+    material = np.asarray(post.material_lookup(
+        scene["material_table"], jnp.asarray(mat_id), jnp.asarray(valid),
+        interpret=True))
+    tex_ok = ts[8] > 0.5
+    frame_albedo = np.where(tex_ok[None], ts[0:3], material[0:3])
+
+    # dense per-pixel ground truth: each pixel's OWN material, float mips,
+    # per-pixel trilinear at the same lod formula + bias
+    mat_tex_np = np.asarray(rs.mat_tex)
+    mips_cache = {}
+
+    def mips_for(m):
+        if m not in mips_cache:
+            img = np.clip(mat_images[m][..., :3], 0.0, 1.0)
+            chain = [img]
+            while min(chain[-1].shape[:2]) > 1:
+                e = chain[-1]
+                h2, w2 = e.shape[0] // 2 * 2, e.shape[1] // 2 * 2
+                chain.append((e[:h2:2, :w2:2] + e[1:h2:2, :w2:2]
+                              + e[:h2:2, 1:w2:2] + e[1:h2:2, 1:w2:2]) * 0.25)
+            mips_cache[m] = chain
+        return mips_cache[m]
+
+    def bilinear(img, u_, v_):
+        h, w = img.shape[:2]
+        tx = (u_ - np.floor(u_)) * w - 0.5
+        ty = (v_ - np.floor(v_)) * h - 0.5
+        x0 = np.floor(tx).astype(int)
+        y0 = np.floor(ty).astype(int)
+        fx = (tx - x0)[..., None]
+        fy = (ty - y0)[..., None]
+        x0c = np.clip(x0, 0, w - 1)
+        x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1)
+        y1c = np.clip(y0 + 1, 0, h - 1)
+        return ((img[y0c, x0c] * (1 - fx) + img[y0c, x1c] * fx) * (1 - fy)
+                + (img[y1c, x0c] * (1 - fx) + img[y1c, x1c] * fx) * fy)
+
+    textured_px = valid & np.isin(
+        mat_id.astype(int),
+        [m for m in range(len(mat_tex_np)) if mat_tex_np[m] >= 0
+         and m in mat_images])
+    dense = np.zeros_like(frame_albedo)
+    for m in sorted(mat_images):
+        sel = textured_px & (mat_id.astype(int) == m)
+        if not sel.any():
+            continue
+        chain = mips_for(m)
+        lw, lh = chain[0].shape[1], chain[0].shape[0]
+        rho = np.maximum(
+            np.maximum(np.abs(duv[0]) * lw, np.abs(duv[1]) * lh),
+            np.maximum(np.abs(duv[2]) * lw, np.abs(duv[3]) * lh))
+        lam = np.clip(np.log2(np.maximum(rho, 1e-6)) + bias, 0,
+                      len(chain) - 1)
+        m0 = np.floor(lam).astype(int)
+        t = (lam - m0)[..., None]
+        ys, xs = np.nonzero(sel)
+        for y, x in zip(ys, xs):
+            a = bilinear(chain[m0[y, x]], uv[0, y, x], uv[1, y, x])
+            b = bilinear(chain[min(m0[y, x] + 1, len(chain) - 1)],
+                         uv[0, y, x], uv[1, y, x])
+            dense[:, y, x] = a * (1 - t[y, x]) + b * t[y, x]
+
+    def luma(rgb):
+        return 0.2126 * rgb[0] + 0.7152 * rgb[1] + 0.0722 * rgb[2]
+
+    err = np.abs(luma(frame_albedo) - luma(dense))
+    # mixed tiles: >= 2 materials among valid pixels of a 16x128 tile
+    tile_of = (np.arange(ph)[:, None] // (raster.TILE_H * m_sub) * ntx
+               + np.arange(pw)[None, :] // raster.TILE_W)
+    mixed = np.zeros_like(valid)
+    for tl in np.unique(tile_of[valid]):
+        px = (tile_of == tl) & valid
+        if len(np.unique(mat_id[px].astype(int))) > 1:
+            mixed |= px
+    fallback = float((textured_px & ~tex_ok).mean() /
+                     max(textured_px.mean(), 1e-9))
+    e_all = err[textured_px]
+    e_mixed = err[textured_px & mixed]
+    row("texture windows (courtyard)", "triangle.frag:177-201 dense",
+        "minority/out-of-window fallback frac", f"{fallback:.3f}",
+        "report (<0.15)", fallback < 0.15)
+    row("texture windows (courtyard)", "dense per-pixel trilinear",
+        "mean |Y| err all textured px", f"{e_all.mean():.3f}",
+        "< 0.06", e_all.mean() < 0.06)
+    row("texture windows (courtyard)", "dense per-pixel trilinear",
+        "mean |Y| err mixed-material tiles",
+        f"{e_mixed.mean():.3f}" if e_mixed.size else "n/a (no mixed)",
+        "< 0.12", (e_mixed.mean() < 0.12) if e_mixed.size else True)
+
+    # (b) 64x64 alpha mask vs dense albedo alpha at the ivy's pixels
+    slot_of_mat = {}
+    for oi, obj in enumerate(scene_data.objects):
+        slot_of_mat[oi] = int(np.asarray(rs.tri_alpha_slot)[
+            np.asarray(rs.tri_object) == oi][0]) \
+            if (np.asarray(rs.tri_object) == oi).any() else 0
+    alpha_mats = [m for m, s in slot_of_mat.items()
+                  if s > 0 and m in mat_images
+                  and mat_images[m].shape[-1] >= 4]
+    if alpha_mats:
+        masks = np.asarray(rs.alpha_masks)
+        dis_n = tot_n = 0
+        for m in alpha_mats:
+            sel = valid & (mat_id.astype(int) == m)
+            if not sel.any():
+                continue
+            s = slot_of_mat[m]
+            au = uv[0][sel] % 1.0
+            av = uv[1][sel] % 1.0
+            ix = np.clip((au * 64).astype(int), 0, 63)
+            iy = np.clip((av * 64).astype(int), 0, 63)
+            word = masks[s - 1][iy * 2 + (ix >= 32)]
+            bit = (word >> (ix & 31)) & 1
+            alpha_img = mat_images[m][..., 3]
+            dense_a = bilinear(alpha_img[..., None], au, av)[..., 0]
+            dis_n += int((bit != (dense_a >= 0.5)).sum())
+            tot_n += int(sel.sum())
+        frac = dis_n / max(tot_n, 1)
+        row("alpha mask 64x64 (courtyard)", "depthPrepass.frag:28-31 dense",
+            "mask vs dense alpha>=0.5 disagree frac", f"{frac:.4f}",
+            "< 0.08", frac < 0.08)
+    else:
+        row("alpha mask 64x64 (courtyard)", "depthPrepass.frag:28-31",
+            "no alpha-tested winners in view", "n/a", "-", True)
+
+
 def check_band_parity():
     # summarized from the dedicated parity tests (kept there for CI); the
     # table reports their thresholds as the measured contract
@@ -274,7 +483,7 @@ def main():
 
     for fn in (check_rasterizer, check_texture_sampler, check_gi_trace,
                check_tonemap_exposure, check_shadow_taa_bloom,
-               check_band_parity):
+               check_courtyard_textures, check_band_parity):
         try:
             fn()
         except Exception as e:  # noqa: BLE001 - report, don't die
