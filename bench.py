@@ -156,6 +156,9 @@ def main():
     fps = args.frames / elapsed
     ms = elapsed / args.frames * 1000.0
     print(f"# {ms:.2f} ms/frame", file=sys.stderr)
+    ovf = np.asarray(state.debug_counters)
+    print(f"# pair overflow after flight: main={int(ovf[0])} "
+          f"shadow={int(ovf[1])} (must be 0)", file=sys.stderr)
     print(json.dumps({
         "metric": "atrium_1080p_full_pipeline_fps",
         "value": round(fps, 2),

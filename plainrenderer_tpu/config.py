@@ -124,9 +124,11 @@ class RenderSettings:
     # debug AABB wireframes (debug.vert + RenderFrontend.cpp:947-956)
     draw_bounding_boxes: bool = False
     # raster pair-budget multiplier. The default budgets assume typical
-    # cull ratios (back-face + frustum leaves < 1/2 of triangles in the
-    # main view, < 1/3 per shadow cascade); a scene/framing that exceeds
-    # them drops pairs — counted in FrameState.debug_counters, shown in
-    # the overlay, and escalated via a per-frame jax.debug.print warning.
-    # Raise this (recompiles; budgets scale O(n)) to restore headroom.
+    # cull ratios (back-face + frustum leaves < 1/4 of triangles in the
+    # main view, < 1/5 per shadow cascade — ~2x the measured bench-scene
+    # occupancy); a scene/framing that exceeds them drops pairs — counted
+    # in FrameState.debug_counters, shown in the overlay, and the App
+    # path AUTO-RAISES this (recompiles; budgets scale O(n)) so the next
+    # frame recovers. Raise manually for known-heavy scenes to avoid the
+    # one degraded frame + recompile.
     pair_budget_scale: float = 1.0

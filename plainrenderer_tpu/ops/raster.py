@@ -62,6 +62,7 @@ TILE_H = 16
 TILE_W = 128
 PX_PER_TILE = TILE_H * TILE_W  # 2048
 GROUP = 128  # pairs per DMA + MXU step; 128 satisfies DMA lane alignment
+EVAL_WIDTH = 32  # pairs per VPU eval slice (sublane window of a DMA chunk)
 SLOT_BITS = 11  # pair-slot bits packed into the depth mantissa
 SLOT_MASK = (1 << SLOT_BITS) - 1
 MAX_PAIRS_PER_TILE = 1 << SLOT_BITS
@@ -854,6 +855,14 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     the depth kernels' per-group sub-block skip reads them. Harmless for
     plane evaluation (the pixel-basis 4th row is zero), but only the
     depth-only consumers request it.
+
+    Layout: the table is built DIRECTLY in (rows, T+1) orientation — rows
+    are the major dim, triangles stay in lanes end to end (geometry_setup
+    emits (coeff, plane, T) / (NATTR, T) lane vectors), so assembling it is
+    pure row concatenation and the duplication is one lane-axis gather with
+    the (rows, P) result already in kernel layout. The previous (T+1, rows)
+    row-take paid two tiny-minor-dim transposes (in and out) that dominated
+    the whole scope on-chip (~5 of 8.3 ms/frame, round-5 op profile).
     """
     t_count = setup.valid.shape[0]
     n_planes = setup.edges.shape[1]  # 4, or 8 with the alpha extension
@@ -861,43 +870,39 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     # pad triangle tables with one degenerate entry at index T (edge plane
     # c = -1 -> never covers; alpha slot c = -1 -> treated opaque)
     never = jnp.zeros((3, n_planes, 1), jnp.float32).at[2, :, 0].set(-1.0)
-    edges_pad = jnp.concatenate([setup.edges, never], axis=2)
-    # (T+1, n_rows) rows [plane-major: a, b, c, pad] for the copy-speed take
-    e = edges_pad.transpose(2, 1, 0)  # (T+1, n_planes, 3 coeffs)
+    e = jnp.concatenate([setup.edges, never], axis=2)  # (3, p, T+1)
     if row_extents:
-        # pad coeffs of planes 0/1 carry [fy0, fy1]; degenerate entry gets
+        # pad rows of planes 0/1 carry [fy0, fy1]; degenerate entry gets
         # the empty range (1, 0) so dead groups skip every sub-block
         fy = jnp.concatenate([
             setup.fine_y.astype(jnp.float32),
             jnp.asarray([[1.0, 0.0]], jnp.float32)], axis=0)  # (T+1, 2)
-        pad_col = jnp.zeros((t_count + 1, n_planes, 1), jnp.float32)
-        pad_col = pad_col.at[:, 0, 0].set(fy[:, 0]).at[:, 1, 0].set(fy[:, 1])
-        e = jnp.concatenate([e, pad_col], axis=2)
+        pad_rows = jnp.zeros((1, n_planes, t_count + 1), jnp.float32)
+        pad_rows = pad_rows.at[0, 0].set(fy[:, 0]).at[0, 1].set(fy[:, 1])
     else:
-        e = jnp.pad(e, ((0, 0), (0, 0), (0, 1)))
-    edges_rows = e.reshape(t_count + 1, n_rows)
+        pad_rows = jnp.zeros((1, n_planes, t_count + 1), jnp.float32)
+    # (4, p, T+1) -> (p, 4, T+1) swaps MAJOR dims only (lanes untouched)
+    edges_rows = jnp.concatenate([e, pad_rows], axis=0).transpose(
+        1, 0, 2).reshape(n_rows, t_count + 1)
 
     if not with_attrs:
-        pair_rows = edges_rows[pairs.pair_tri]  # (P, n_rows) contiguous take
-        return pair_rows.T, None
+        return edges_rows[:, pairs.pair_tri], None
 
-    # ONE combined (T+1, n_rows+NATTR) row gather: XLA's TPU row gather
-    # costs ~per-row, so gathering edges and attrs separately paid twice
+    # ONE combined (n_rows + NATTR, T+1) lane gather: per-index cost is
+    # paid once for all rows
     attrs_pad = jnp.concatenate(
         [setup.attrs, jnp.zeros((setup.attrs.shape[0], 1), jnp.float32)],
         axis=1)
-    rows = jnp.concatenate([edges_rows, attrs_pad.T], axis=1)
-    pair_rows = rows[pairs.pair_tri]  # (P, n_rows + NATTR)
-    pair_edges = pair_rows[:, :n_rows].T  # (n_rows, P)
-    pair_attrs = pair_rows[:, n_rows:].T  # (NATTR, P)
+    n_attr = attrs_pad.shape[0]
     # Mosaic requires HBM slices sublane-aligned: pad rows to a multiple
     # of 8 (30 -> 32 static, 39 -> 40 dynamic); the kernel's one-hot matmul
     # and coeff evaluation only touch the logical rows
-    n_attr = pair_attrs.shape[0]
     row_pad = (-n_attr) % 8
     if row_pad:
-        pair_attrs = jnp.pad(pair_attrs, ((0, row_pad), (0, 0)))
-    return pair_edges, pair_attrs
+        attrs_pad = jnp.pad(attrs_pad, ((0, row_pad), (0, 0)))
+    rows = jnp.concatenate([edges_rows, attrs_pad], axis=0)
+    pair_rows = rows[:, pairs.pair_tri]  # (n_rows + n_attr', P)
+    return pair_rows[:n_rows], pair_rows[n_rows:]
 
 
 # --------------------------------------------------------------------------
@@ -948,7 +953,7 @@ def _kernel_recip(x):
 
 
 def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
-                        acc_ref, edge_buf, sems, *, track_winner: bool,
+                        acc_ref, edge_buf, cols_ref, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
                         sub: int = 1,
                         row_skip: bool = False, init_ref=None):
@@ -978,7 +983,18 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     stream is y-sorted within each bin (build_pairs order_rows=True);
     each group then evaluates ONLY the sub-blocks inside its live pairs'
     [min fy0, max fy1] — the edge/depth matmuls for a y-coherent group of
-    tiny triangles run on 1-2 of the bin's `sub` blocks instead of all."""
+    tiny triangles run on 1-2 of the bin's `sub` blocks instead of all.
+
+    EVAL SLICES (round 5): DMA chunks stay GROUP=128 pairs (the DMA
+    engine's lane alignment), but evaluation runs in EW=32-pair sublane
+    slices of the transposed coefficient block, each gated on overlapping
+    the live [lead, lead + count) range. Pair streams are sparse —
+    measured mean segment occupancy is ~80/510 bins main view and ~4/510
+    for the alpha stream — so fixed (128, PX) evaluation paid ~2x (main)
+    to ~30x (alpha) over the live lanes; 32-row slices keep the VPU work
+    proportional to live pairs + <=31 lanes of rounding (main-view fused
+    G-buffer kernel 6.3 -> 4.2 ms, alpha winner stage 5.5 -> 1.5 ms
+    measured on-chip)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
@@ -1008,6 +1024,9 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     def _():
         group_dma(0, 0).start()
 
+    ew = min(EVAL_WIDTH, GROUP)
+    n_slices = GROUP // ew
+
     def group_body(g, _):
         slot = jax.lax.rem(g, 2)
 
@@ -1025,37 +1044,52 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         # them with one K=128 identity matmul at HIGHEST precision; the
         # native transpose frees the MXU entirely and skips the 3-pass f32
         # precision decomposition — verified exact on-chip for (16,128) and
-        # (40,128) f32 inputs.)
-        cols = mat.T  # (GROUP, n_rows)
+        # (40,128) f32 inputs.) Written to scratch so the eval slices below
+        # can take DYNAMIC sublane windows of it.
+        cols_ref[...] = mat.T  # (GROUP, n_rows)
+
+        def slice_body(j, _):
+            row0 = g * GROUP + j * ew
+            live = (row0 < lead + count) & (row0 + ew > lead)
+
+            @pl.when(live)
+            def _():
+                eval_slice(g, j)
+            return 0
+
+        jax.lax.fori_loop(0, n_slices, slice_body, 0)
+        return 0
+
+    def eval_slice(g, j):
+        row0 = g * GROUP + j * ew
+        cols = cols_ref[pl.ds(j * ew, ew), :]  # (ew, n_rows)
 
         # mask rows outside this tile's [start, start+count) segment
-        row = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE), 0)
-               + g * GROUP)
+        row = (jax.lax.broadcasted_iota(jnp.int32, (ew, PX_PER_TILE), 0)
+               + row0)
         seg_ok = (row >= lead) & (row < lead + count)
 
         if masks_ref is not None:
             # alpha test: mask-slot plane is constant per pair -> row 30
-            # (plane 7's c coeff) is the per-pair slot in LANES
-            slot_row = mat[30:31]  # (1, GROUP) f32
-            has_alpha = jnp.max(slot_row) > 0.5
-            slot_col = cols[:, 30:31]  # (GROUP, 1)
-            # per-pair mask row table (GROUP, 128 words)
-            table0 = jnp.full((GROUP, 128), -1, jnp.int32)  # opaque
+            # (plane 7's c coeff) carries the per-pair slot
+            slot_col = cols[:, 30:31]  # (ew, 1)
+            has_alpha = jnp.max(slot_col) > 0.5
+            # per-pair mask row table (ew, 128 words)
+            table0 = jnp.full((ew, 128), -1, jnp.int32)  # opaque
             for m in range(masks_ref.shape[0]):
                 table0 = jnp.where(
                     jnp.abs(slot_col - (m + 1)) < 0.5,
                     masks_ref[m:m + 1], table0)
 
         if row_skip:
-            # live-lane mask on the PAIR (lane) axis; rows 3/7 carry each
-            # pair's fine-row bbox (see docstring). Dead groups (no live
-            # lanes) get smin > smax and skip everything.
-            lanei = (jax.lax.broadcasted_iota(jnp.int32, (1, GROUP), 1)
-                     + g * GROUP)
+            # live-lane mask on the PAIR (sublane) axis; rows 3/7 carry
+            # each pair's fine-row bbox (see docstring).
+            lanei = (jax.lax.broadcasted_iota(jnp.int32, (ew, 1), 0)
+                     + row0)
             lane_live = (lanei >= lead) & (lanei < lead + count)
-            fy_min = jnp.min(jnp.where(lane_live, mat[3:4],
+            fy_min = jnp.min(jnp.where(lane_live, cols[:, 3:4],
                                        jnp.float32(1e9)))
-            fy_max = jnp.max(jnp.where(lane_live, mat[7:8],
+            fy_max = jnp.max(jnp.where(lane_live, cols[:, 7:8],
                                        jnp.float32(-1e9)))
             bin_row0 = (ty * sub).astype(jnp.float32)
 
@@ -1064,7 +1098,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             x_row = basis[0:1]  # (1, PX)
             y_row = basis[1:2]
 
-            # per plane p: a*x + b*y + c as (GROUP, 1) x (1, PX) broadcast
+            # per plane p: a*x + b*y + c as (ew, 1) x (1, PX) broadcast
             # FMAs on the VPU (coefficients pre-transposed into `cols`)
             def plane_eval(p):
                 a = cols[:, 4 * p:4 * p + 1]
@@ -1165,7 +1199,6 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                     eval_sub(s)
             else:
                 eval_sub(s)
-        return 0
 
     jax.lax.fori_loop(0, n_groups, group_body, 0)
 
@@ -1184,26 +1217,26 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
 
 def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
-                  acc_ref, edge_buf, sems, *, sub=1, row_skip=False):
+                  acc_ref, edge_buf, cols_ref, sems, *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
-                        acc_ref, edge_buf, sems, track_winner=False,
+                        acc_ref, edge_buf, cols_ref, sems, track_winner=False,
                         depth_clamp=True, sub=sub, row_skip=row_skip)
 
 
 def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
-                        depth_ref, acc_ref, edge_buf, sems,
+                        depth_ref, acc_ref, edge_buf, cols_ref, sems,
                         *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
-                        acc_ref, edge_buf, sems, track_winner=False,
+                        acc_ref, edge_buf, cols_ref, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
                         sub=sub, row_skip=row_skip)
 
 
 def _depth_kernel_alpha_acc(start_ref, count_ref, edges_ref, masks_ref,
-                            init_ref, depth_ref, acc_ref, edge_buf, sems,
-                            *, sub=1, row_skip=False):
+                            init_ref, depth_ref, acc_ref, edge_buf, cols_ref,
+                            sems, *, sub=1, row_skip=False):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
-                        acc_ref, edge_buf, sems, track_winner=False,
+                        acc_ref, edge_buf, cols_ref, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
                         sub=sub, row_skip=row_skip,
                         init_ref=init_ref)
@@ -1234,6 +1267,7 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     scratch = [
         pltpu.VMEM((sub, PX_PER_TILE), jnp.int32),
         pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
+        pltpu.VMEM((GROUP, n_rows), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     inputs = [pairs.tile_start, pairs.tile_count, pair_edges]
@@ -1280,8 +1314,9 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
 
 def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
                     depth_ref, vis_ref, gbuf_ref,
-                    acc_ref, coeff_ref, edge_buf, attr_buf, sems, attr_sem,
-                    masks_ref=None, sub=1, row_skip=False):
+                    acc_ref, coeff_ref, edge_buf, attr_buf, cols_ref,
+                    attr_cols, sems, attr_sem, masks_ref=None, sub=1,
+                    row_skip=False):
     """Full visibility + attribute resolve for the main view (fused).
 
     NOTE: never instantiated with masks_ref — the alpha variant runs the
@@ -1290,7 +1325,7 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     gather block and the attribute one-hot matmuls share one kernel
     (885 s measured at bench shapes vs 3.7 s + 5 s split)."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
-                        acc_ref, edge_buf, sems, track_winner=True,
+                        acc_ref, edge_buf, cols_ref, sems, track_winner=True,
                         masks_ref=masks_ref, sub=sub,
                         row_skip=row_skip)
 
@@ -1310,14 +1345,20 @@ def _gbuffer_kernel(start_ref, count_ref, edges_ref, attrs_ref,
     acc_flat = acc_ref[...]  # (sub, PX)
     valid_flat = acc_flat != 0
     slot_flat = acc_flat & SLOT_MASK  # slot == stream index relative to base
-    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem,
-                base=base, n_groups=n_groups, valid_flat=valid_flat,
-                slot_flat=slot_flat, ty=ty, tx=tx, sub=sub)
+    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
+                attr_sem, base=base, n_groups=n_groups,
+                valid_flat=valid_flat, slot_flat=slot_flat, ty=ty, tx=tx,
+                sub=sub)
 
 
-def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem, *,
-                base, n_groups, valid_flat, slot_flat, ty, tx, sub):
+def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
+                attr_sem, *, base, n_groups, valid_flat, slot_flat, ty, tx,
+                sub):
     coeff_ref[...] = jnp.zeros_like(coeff_ref)
+    ew = min(EVAL_WIDTH, GROUP)
+    n_slices = GROUP // ew
+    ew_shift = ew.bit_length() - 1
+    assert 1 << ew_shift == ew
 
     def sg_body(sg, _):
         sel_all = valid_flat & ((slot_flat >> 7) == sg)  # (sub, PX)
@@ -1332,26 +1373,45 @@ def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem, *,
             )
             dma.start()
             dma.wait()
-            # one-hot (GROUP, PX): lane s of column px is 1 iff pixel px's
-            # winner is local slot s in this group; coeff[c, px] then falls
-            # out of attr_buf (NATTR, GROUP) @ onehot on the MXU. Winner
-            # slots are unique per pixel, so accumulation across groups is
-            # exact (disjoint supports); HIGHEST precision keeps f32 coeffs
-            # bit-exact through the bf16-pass decomposition (x 1.0 or 0.0).
-            lane = jax.lax.broadcasted_iota(jnp.int32, (GROUP, PX_PER_TILE),
-                                            0)
-            for s in range(sub):
-                sel = sel_all[s:s + 1]
+            # pairs into sublane space (native transpose) so eval slices
+            # can take dynamic sublane windows — same trick as the vis loop
+            attr_cols[...] = attr_buf[...].T  # (GROUP, n_attr)
 
-                @pl.when(jnp.any(sel))
+            def sl_body(j, _):
+                base_sl = sg * GROUP + j * ew
+                # one-hot (ew, PX): sublane l of column px is 1 iff pixel
+                # px's winner is local slot l in this slice; coeff[c, px]
+                # then falls out of attr_slice^T (ew, n_attr) x onehot on
+                # the MXU. Winner slots are unique per pixel, so
+                # accumulation across slices is exact (disjoint supports);
+                # HIGHEST precision keeps f32 coeffs bit-exact through the
+                # bf16-pass decomposition (x 1.0 or 0.0). Slices keep the
+                # one-hot build + matmul proportional to where winners
+                # actually live instead of fixed 128-wide.
+                sel_sl = sel_all & ((slot_flat >> ew_shift)
+                    == (base_sl >> ew_shift))
+
+                @pl.when(jnp.any(sel_sl))
                 def _():
-                    onehot = ((slot_flat[s:s + 1] - sg * 128) == lane) & sel
-                    vals = jax.lax.dot_general(
-                        attr_buf[...], onehot.astype(jnp.float32),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    coeff_ref[s] = coeff_ref[s] + vals
+                    attr_j = attr_cols[pl.ds(j * ew, ew), :]  # (ew, n_attr)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (ew, PX_PER_TILE), 0)
+                    for s in range(sub):
+                        sel = sel_sl[s:s + 1]
+
+                        @pl.when(jnp.any(sel))
+                        def _(s=s):
+                            onehot = ((slot_flat[s:s + 1] - base_sl)
+                                      == lane) & sel
+                            vals = jax.lax.dot_general(
+                                attr_j, onehot.astype(jnp.float32),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                            coeff_ref[s] = coeff_ref[s] + vals
+                return 0
+
+            jax.lax.fori_loop(0, n_slices, sl_body, 0)
         return 0
 
     jax.lax.fori_loop(0, n_groups, sg_body, 0)
@@ -1423,17 +1483,19 @@ def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem, *,
 
 def _winner_alpha_kernel(start_ref, count_ref, edges_ref, masks_ref,
                          depth_ref, vis_ref,
-                         acc_ref, edge_buf, sems, *, sub=1, row_skip=False):
+                         acc_ref, edge_buf, cols_ref, sems, *, sub=1,
+                         row_skip=False):
     """Stage 1 of the SPLIT alpha G-buffer: alpha-tested visibility with
     winner tracking. Splitting keeps BOTH kernels in Mosaic's fast compile
     class (see _gbuffer_kernel docstring)."""
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
-                        acc_ref, edge_buf, sems, track_winner=True,
+                        acc_ref, edge_buf, cols_ref, sems, track_winner=True,
                         masks_ref=masks_ref, sub=sub, row_skip=row_skip)
 
 
 def _attr_resolve_kernel(start_ref, count_ref, attrs_ref, vis_ref,
-                         gbuf_ref, coeff_ref, attr_buf, attr_sem, *, sub=1):
+                         gbuf_ref, coeff_ref, attr_buf, attr_cols, attr_sem,
+                         *, sub=1):
     """Stage 2 of the split alpha G-buffer: attribute fetch + plane eval.
 
     The per-pixel winner slots arrive as stage 1's vis output (slot >= 0
@@ -1455,9 +1517,10 @@ def _attr_resolve_kernel(start_ref, count_ref, attrs_ref, vis_ref,
     vis_flat = vis2d.reshape(sub, PX_PER_TILE)
     valid_flat = vis_flat >= 0
     slot_flat = vis_flat
-    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_sem,
-                base=base, n_groups=n_groups, valid_flat=valid_flat,
-                slot_flat=slot_flat, ty=ty, tx=tx, sub=sub)
+    _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
+                attr_sem, base=base, n_groups=n_groups,
+                valid_flat=valid_flat, slot_flat=slot_flat, ty=ty, tx=tx,
+                sub=sub)
 
 
 def _rasterize_gbuffer_split(pair_edges, pair_attrs, pairs: PairLists,
@@ -1489,6 +1552,7 @@ def _rasterize_gbuffer_split(pair_edges, pair_attrs, pairs: PairLists,
         scratch_shapes=[
             pltpu.VMEM((sub, PX_PER_TILE), jnp.int32),
             pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
+            pltpu.VMEM((GROUP, n_rows), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -1518,6 +1582,7 @@ def _rasterize_gbuffer_split(pair_edges, pair_attrs, pairs: PairLists,
         scratch_shapes=[
             pltpu.VMEM((sub, n_attr, PX_PER_TILE), jnp.float32),
             pltpu.VMEM((n_attr, 128), jnp.float32),
+            pltpu.VMEM((GROUP, n_attr), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -1565,6 +1630,8 @@ def rasterize_gbuffer(pair_edges, pair_attrs, pairs: PairLists,
         pltpu.VMEM((sub, n_attr, PX_PER_TILE), jnp.float32),
         pltpu.VMEM((2, n_rows, GROUP), jnp.float32),
         pltpu.VMEM((n_attr, 128), jnp.float32),
+        pltpu.VMEM((GROUP, n_rows), jnp.float32),
+        pltpu.VMEM((GROUP, n_attr), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA,
     ]

@@ -44,8 +44,11 @@ class ShadingConfig:
     # the reference's trilinear/aniso samplers,
     # RenderFrontend.cpp:1300-1397; each level costs extra window taps)
     texture_filter: int = 0
-    # window the tile's SECOND material too (scalar-gated second window;
-    # texture.py v2) — per-pixel sampling coverage on mixed-material tiles
+    # window the tile's SECOND material too (texture.py two_mat:
+    # scalar-gated per tile, so single-material tiles pay nothing) —
+    # per-pixel sampling coverage on <= 2-material tiles. Ignored when
+    # texture_filter >= 1 (trilinear reuses the second window pair for
+    # the higher mip).
     texture_two_mat: bool = True
 
 

@@ -36,10 +36,12 @@ from .raster import TILE_H, TILE_W
 MAX_CASCADES = 4  # sunShadowCascades.inc:4
 SHADOW_SAMPLE_RADIUS = 0.03  # world-space, sunShadowCascades.inc:5
 # shadow-map window per tile; origins snap to the DMA alignment grid
-# (rows: multiples of 8, cols: multiples of 128) so the window is sized to
-# keep >= (8, 64) texels of margin around the tile-mean position (PCF tap
-# radii are only a few texels; the margin absorbs in-tile position spread)
-WINDOW_H = 24
+# (texel rows: multiples of 16 = 8 packed word rows, cols: multiples of
+# 128) so the window keeps >= (8, 64) texels of margin around the
+# tile-mean position (PCF tap radii are only a few texels; the margin
+# absorbs in-tile position spread). Height is 2x8 packed word rows —
+# Mosaic requires DMA sublane extents in multiples of 8.
+WINDOW_H = 32
 WINDOW_W = 256
 
 # packed per-cascade row layout for the resolve kernel
@@ -145,6 +147,23 @@ def _spiral_offsets(taps: int):
     return i  # offsets are derived per-pixel from noise inside the kernel
 
 
+@jax.named_scope("shadow.pack_maps")
+def pack_shadow_maps_u16(shadow_maps):
+    """(C, S, S) f32 reverse-Z -> (C, S/2, S) i32 of y-adjacent u16 texels.
+
+    The reference's shadow maps are Depth16 (RenderFrontend.cpp:1210
+    ImageFormat::Depth16), so 16-bit quantization is exact format parity —
+    the PCF compare below reconstructs texel/65535 in f32 and compares the
+    unquantized receiver against it, matching the D16 sampler semantics.
+    Packing two y-adjacent texels per lane word halves the VMEM window's
+    flat row count (the in-kernel gather cost is linear in rows,
+    gatherlib.gather_rows_128) while keeping the x axis at texel
+    granularity, so window origins still snap in 128-texel steps and the
+    guaranteed margins match the unpacked window exactly."""
+    q = jnp.round(jnp.clip(shadow_maps, 0.0, 1.0) * 65535.0).astype(jnp.int32)
+    return q[..., 0::2, :] | (q[..., 1::2, :] << 16)
+
+
 def _shadow_resolve_kernel(
     cascade_ref,  # (MAX_CASCADES, _ROW_F) matrices/scales/splits in VMEM
     wpos_ref,  # (3, TILE_H, TILE_W)
@@ -166,43 +185,71 @@ def _shadow_resolve_kernel(
         split_c = cascade_ref[c, 18]
         cascade_idx = cascade_idx + (lin_depth >= split_c).astype(jnp.int32)
 
-    shadow = jnp.zeros((TILE_H, TILE_W), jnp.float32)
     noise = noise_ref[...]
 
     wx = wpos_ref[0]
     wy = wpos_ref[1]
     wz = wpos_ref[2]
 
+    # pass 1: light-space coords + window origins for EVERY live cascade,
+    # all window DMAs issued together so their HBM latencies overlap (the
+    # serial start-wait-per-cascade version stalled up to 4 round trips
+    # per tile)
+    masks, coords, origins = [], [], []
     for c in range(cascade_count):
         mask = valid & (cascade_idx == c)
+        m = cascade_ref[c]
+        # light-space position (ortho: w == 1)
+        lx = m[0] * wx + m[1] * wy + m[2] * wz + m[3]
+        ly = m[4] * wx + m[5] * wy + m[6] * wz + m[7]
+        lz = m[8] * wx + m[9] * wy + m[10] * wz + m[11]
+        u = (lx * 0.5 + 0.5) * map_size  # texel coords
+        v = (ly * 0.5 + 0.5) * map_size
+
+        # window origin around the masked mean texel position
+        count = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+        mean_u = jnp.sum(jnp.where(mask, u, 0.0)) / count
+        mean_v = jnp.sum(jnp.where(mask, v, 0.0)) / count
+        # snap to the DMA alignment grid: x in 128-texel lane steps (the
+        # y-pair packing leaves x at texel granularity), y in 16-texel
+        # steps (= 8 packed word rows)
+        bx = pl.multiple_of(jnp.clip(
+            (mean_u.astype(jnp.int32) - win_w // 4) // 128 * 128,
+            0, map_size - win_w), 128)
+        # y origin computed directly in PACKED word rows so Mosaic can
+        # prove the DMA offset's 8-row alignment (a by // 2 of a
+        # 16-multiple defeats its divisibility analysis)
+        byw = pl.multiple_of(jnp.clip(
+            (mean_v.astype(jnp.int32) - win_h // 2) // 16 * 8,
+            0, (map_size - win_h) // 2), 8)
+        by = byw * 2
+        masks.append(mask)
+        coords.append((u, v, jnp.clip(lz, 0.0, 1.0)))
+
+        origins.append((bx, by, byw))
+
+        @pl.when(jnp.any(mask))
+        def _(c=c, bx=bx, byw=byw):
+            pltpu.make_async_copy(
+                maps_ref.at[c, pl.ds(byw, win_h // 2),
+                            pl.ds(bx, win_w)],
+                window.at[c], sem.at[c]).start()
+
+    # pass 2: taps per cascade against its prefetched window
+    for c in range(cascade_count):
+        mask = masks[c]
 
         @pl.when(jnp.any(mask))
         def _(c=c, mask=mask):
-            m = cascade_ref[c]
-            # light-space position (ortho: w == 1)
-            lx = m[0] * wx + m[1] * wy + m[2] * wz + m[3]
-            ly = m[4] * wx + m[5] * wy + m[6] * wz + m[7]
-            lz = m[8] * wx + m[9] * wy + m[10] * wz + m[11]
-            u = (lx * 0.5 + 0.5) * map_size  # texel coords
-            v = (ly * 0.5 + 0.5) * map_size
-            receiver = jnp.clip(lz, 0.0, 1.0)
-
-            # window origin around the masked mean texel position
-            count = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
-            mean_u = jnp.sum(jnp.where(mask, u, 0.0)) / count
-            mean_v = jnp.sum(jnp.where(mask, v, 0.0)) / count
-            # snap to the DMA alignment grid (see WINDOW_H/W comment)
-            bx = pl.multiple_of(jnp.clip(
-                (mean_u.astype(jnp.int32) - win_w // 4) // 128 * 128,
-                0, map_size - win_w), 128)
-            by = pl.multiple_of(jnp.clip(
-                (mean_v.astype(jnp.int32) - win_h // 2 + 4) // 8 * 8,
-                0, map_size - win_h), 8)
-            dma = pltpu.make_async_copy(
-                maps_ref.at[c, pl.ds(by, win_h), pl.ds(bx, win_w)],
-                window, sem)
-            dma.start()
-            dma.wait()
+            u, v, receiver = coords[c]
+            bx, by, byw = origins[c]
+            pltpu.make_async_copy(
+                maps_ref.at[c, pl.ds(byw, win_h // 2),
+                            pl.ds(bx, win_w)],
+                window.at[c], sem.at[c]).wait()
+            # (win_h/2, win_w) words -> flat (win_h/2 * win_w/128, 128):
+            # win_w is a multiple of 128, so the reshape only splits lanes
+            flat = window[c].reshape(win_h * win_w // 256, 128)
 
             lu = u - bx.astype(jnp.float32)
             lv = v - by.astype(jnp.float32)
@@ -220,7 +267,15 @@ def _shadow_resolve_kernel(
                 dv = jnp.sin(angle) * d * off_scale_v
                 sx = jnp.round(lu + du).astype(jnp.int32)
                 sy = jnp.round(lv + dv).astype(jnp.int32)
-                texel = gatherlib.gather_window_2d(window, sx, sy)
+                # u16-pair word fetch + halfword extract (D16 parity: the
+                # receiver stays f32, the texel dequantizes to d/65535 —
+                # RenderFrontend.cpp:1210 ImageFormat::Depth16)
+                sxc = jnp.clip(sx, 0, win_w - 1)
+                syc = jnp.clip(sy, 0, win_h - 1)
+                word = gatherlib.gather_rows_128(
+                    flat, (syc >> 1) * win_w + sxc)
+                half = (word >> ((syc & 1) * 16)) & 0xFFFF
+                texel = half.astype(jnp.float32) * (1.0 / 65535.0)
                 # nearest-black-border semantics + reverse-Z GreaterEqual
                 inside = ((sx >= -bx) & (sy >= -by)
                           & (sx < map_size - bx) & (sy < map_size - by))
@@ -245,6 +300,8 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
     _, h, w = world_pos.shape
     map_size = shadow_maps.shape[-1]
     nty, ntx = h // TILE_H, w // TILE_W
+    assert map_size % 256 == 0, "u16-pair packing needs 256-texel rows"
+    maps_packed = pack_shadow_maps_u16(shadow_maps)
 
     rows = jnp.zeros((MAX_CASCADES, _ROW_F), jnp.float32)
     rows = rows.at[:, :16].set(cascade_matrices.reshape(MAX_CASCADES, 16))
@@ -276,8 +333,8 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((win_h, win_w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cascade_count, win_h // 2, win_w), jnp.int32),
+            pltpu.SemaphoreType.DMA((cascade_count,)),
         ],
     )
     (out,) = pl.pallas_call(
@@ -285,5 +342,5 @@ def shadow_resolve(world_pos, linear_depth, noise, shadow_maps,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((h, w), jnp.float32)],
         interpret=interpret,
-    )(rows, world_pos, linear_depth, noise, shadow_maps)
+    )(rows, world_pos, linear_depth, noise, maps_packed)
     return out

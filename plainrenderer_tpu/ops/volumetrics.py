@@ -274,10 +274,24 @@ def temporal_reprojection(current, history, world_pos_coarse, prev_view_proj,
     x0, x1, fx = axis_coords(uvw[:, 0] * wf, wf)
     y0, y1, fy = axis_coords(uvw[:, 1] * hf, hf)
     z0, z1, fz = axis_coords(uvw[:, 2] * d, d)
-    c00 = history[:, z0, y0, x0] * (1 - fx) + history[:, z0, y0, x1] * fx
-    c01 = history[:, z0, y1, x0] * (1 - fx) + history[:, z0, y1, x1] * fx
-    c10 = history[:, z1, y0, x0] * (1 - fx) + history[:, z1, y0, x1] * fx
-    c11 = history[:, z1, y1, x0] * (1 - fx) + history[:, z1, y1, x1] * fx
+    # ONE flat gather for all 8 trilinear corners: eight separate
+    # advanced-index gathers each paid XLA's per-gather fixed cost
+    # (8 x 0.30 ms/frame measured on-chip at bench sizes)
+    histf = history.reshape(4, -1)
+
+    def flat(z, y, x):
+        return (z * hf + y) * wf + x
+
+    corners = jnp.concatenate([
+        flat(z0, y0, x0), flat(z0, y0, x1), flat(z0, y1, x0),
+        flat(z0, y1, x1), flat(z1, y0, x0), flat(z1, y0, x1),
+        flat(z1, y1, x0), flat(z1, y1, x1)])
+    n = x0.shape[0]
+    g = histf[:, corners].reshape(4, 8, n)
+    c00 = g[:, 0] * (1 - fx) + g[:, 1] * fx
+    c01 = g[:, 2] * (1 - fx) + g[:, 3] * fx
+    c10 = g[:, 4] * (1 - fx) + g[:, 5] * fx
+    c11 = g[:, 6] * (1 - fx) + g[:, 7] * fx
     c0 = c00 + (c01 - c00) * fy
     c1 = c10 + (c11 - c10) * fy
     hist = c0 + (c1 - c0) * fz  # (4, N)

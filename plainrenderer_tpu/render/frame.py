@@ -416,15 +416,19 @@ def render_frame(
     # slot packing already made arbitrary.
     # every binning stage (owner fill, decode, sort, setup gather) is
     # O(pair_budget), so the budget is sized to the CULLED stream, not
-    # t_count: back-face + frustum culling leaves well under half the
-    # triangles live, and per-frame overflow counters (asserted zero in
-    # tests, shown in the overlay) catch any scene that outgrows it
+    # t_count: back-face + frustum culling leaves ~1/8 of triangles live
+    # at measured framings (tools/pair_stats.py: 37k of 292k live, 59k
+    # real pairs) and the budgets carry ~2x headroom over that. A scene
+    # that still outgrows them trips the per-frame overflow counters
+    # (asserted zero in tests, shown in the overlay) and the App path
+    # AUTO-ESCALATES pair_budget_scale and re-warns (runtime/app.py),
+    # so pathological framings recover instead of silently dropping
     def scaled(budget: int) -> int:
         # static python int: settings is a static jit arg, so raising the
         # scale recompiles with proportionally larger pair streams
         return int(budget * settings.pair_budget_scale)
 
-    m_budget = scaled(t_count // 2 + 8 * nty * m_sub * ntx)
+    m_budget = scaled(t_count // 4 + 8 * nty * m_sub * ntx)
     if alpha_masks is None:
         pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
                                    order_rows=True, pair_budget=m_budget,
@@ -457,7 +461,7 @@ def render_frame(
         d1, v1, g1 = raster.rasterize_gbuffer(
             pe_o, pa_o, pairs_o, nty, ntx, interpret=interpret,
             sub=m_sub, row_skip=True)
-        ma_budget = scaled(t_count // 16 + 4 * nty * m_sub * ntx)
+        ma_budget = scaled(t_count // 32 + 4 * nty * m_sub * ntx)
         pairs_a = raster.build_pairs(setup_a, nty, ntx, bin_rows=m_sub,
                                      order_rows=True,
                                      pair_budget=ma_budget,
@@ -531,6 +535,7 @@ def render_frame(
             n_mips=MAX_MIPS, mip_bias=bias,
             trilinear=settings.shading.texture_filter >= 1,
             aniso=settings.shading.texture_filter >= 2,
+            two_mat=settings.shading.texture_two_mat,
             interpret=interpret)
         tex_ok = ts[8] > 0.5
         albedo = jnp.where(tex_ok[None], ts[0:3], albedo)
@@ -597,7 +602,7 @@ def render_frame(
         # slots measured) — budget a third, guarded by the overflow
         # counter. Sharded: 2x the even share per band.
         s_budget = scaled((n_cas * t_count)
-                          // (3 * max(n_dev_atlas // 2, 1))
+                          // (4 * max(n_dev_atlas // 2, 1))
                           + 8 * nb_d * s_sub * s_ntx)
 
         if alpha_masks is not None:
@@ -657,7 +662,7 @@ def render_frame(
             if n_dev_atlas > 1:
                 setup_a = _atlas_band_slice(setup_a, a_row0, a_nbd, a_sub)
             a_budget = scaled((n_cas * t_count)
-                              // (16 * max(n_dev_atlas // 2, 1))
+                              // (24 * max(n_dev_atlas // 2, 1))
                               + 4 * a_nbd * a_sub * s_ntx)
             pairs_a = raster.build_pairs(setup_a, a_nbd, s_ntx,
                                          n_views=n_cas, tile_cap=1 << 15,

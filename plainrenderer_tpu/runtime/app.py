@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 from pathlib import Path
 
@@ -37,6 +38,9 @@ class App:
 
         self.settings = settings
         self.interpret = interpret
+        # auto-raise pair budgets when a frame reports dropped pairs
+        # (see _maybe_escalate_budgets)
+        self.auto_budget_escalation = True
         self.timer = Timer()
         self.frame_index = FrameIndex()
         self.camera = CameraController()
@@ -162,7 +166,32 @@ class App:
             self.state, self.scene, cam, self.luts,
             jnp.asarray(self.timer.delta_time, jnp.float32),
             self.settings, interpret=self.interpret)
+        if self.auto_budget_escalation:
+            self._maybe_escalate_budgets()
         return image
+
+    def _maybe_escalate_budgets(self):
+        """Pair-budget auto-escalation: a nonzero overflow counter means
+        the frame DROPPED pairs (missing geometry / shadow casters) —
+        double pair_budget_scale so the next frame renders complete, and
+        warn. The bump is a static-settings change, so the next frame
+        recompiles (cheap relative to silently wrong images; mirrors the
+        reference's assert-on-overflow habits, e.g. the drawcall-count
+        asserts in RenderBackend.cpp). The check costs one scalar
+        device->host fetch; disable via auto_budget_escalation=False for
+        pure-throughput drivers that inspect counters themselves."""
+        ovf = np.asarray(self.state.debug_counters)
+        if ovf.any():
+            old = self.settings.pair_budget_scale
+            self.settings = dataclasses.replace(
+                self.settings, pair_budget_scale=old * 2.0)
+            print(f"WARNING: raster pair overflow (main={int(ovf[0])}, "
+                  f"shadow={int(ovf[1])}) — pair_budget_scale auto-raised "
+                  f"{old:g} -> {old * 2.0:g}; this frame may be missing "
+                  "geometry, the next recompiles with headroom",
+                  file=sys.stderr)
+            return True
+        return False
 
 
 _last_overflow_warn = [0.0]

@@ -111,3 +111,55 @@ def test_interactive_loop_scripted(tmp_path):
     pos1 = np.array(app.camera.position, np.float32)
     assert np.linalg.norm(pos1 - pos0) > 1.0  # moved ~2 m forward
     assert app.camera.yaw != yaw0  # mouse-look applied
+
+
+def test_pair_budget_auto_escalation(tmp_path):
+    """A framing that exceeds the assumed cull ratio must ESCALATE, not
+    silently drop pairs (VERDICT r4 task 7): stacked full-view boxes give
+    每 triangle a multi-bin span, overflowing the tight default budget;
+    App then auto-doubles pair_budget_scale until a frame renders with
+    zero overflow."""
+    from plainrenderer_tpu.assets import plain_format, procedural
+    from plainrenderer_tpu.config import (RenderSettings, SDFTraceSettings,
+                                          ShadowSettings,
+                                          VolumetricsSettings)
+    from plainrenderer_tpu.runtime.app import App
+
+    # 48 coincident boxes -> 576 triangles, each spanning most of the
+    # screen: ~8 bins/triangle of pairs vs a budget of t/4 + grid floor
+    objs = []
+    meshes = []
+    for i in range(48):
+        mesh = procedural.box_mesh(6.0, 3.0, 6.0)
+        mesh.texture_paths = plain_format.TexturePaths(
+            albedo="", normal="", specular="", sdf="")
+        mesh.mean_albedo = (0.5, 0.5, 0.5)
+        meshes.append(mesh)
+        objs.append(plain_format.ObjectBinary(
+            model_matrix=np.eye(4, dtype="float32"), mesh_index=i))
+    scene = plain_format.Scene(objects=objs, meshes=meshes)
+    path = tmp_path / "stack.plain"
+    plain_format.save_binary_scene(path, plain_format.scene_to_binary(scene))
+
+    settings = RenderSettings(
+        width=256, height=128,
+        sdf_trace=SDFTraceSettings(enabled=False),
+        volumetrics=VolumetricsSettings(enabled=False),
+        taa=__import__("plainrenderer_tpu.config", fromlist=["TAASettings"])
+        .TAASettings(enabled=False),
+        shadows=ShadowSettings(cascade_count=0))
+    app = App(settings, str(path), with_gi=False, interpret=True)
+    # camera just outside the stack, boxes filling the whole view: every
+    # front-facing triangle spans most of the screen's raster bins
+    app.camera.position = np.asarray([0.0, -1.0, -4.5], np.float32)
+
+    assert app.settings.pair_budget_scale == 1.0
+    clean = False
+    for _ in range(6):
+        app.run_frame()
+        if not np.asarray(app.state.debug_counters).any():
+            clean = True
+            break
+    assert app.settings.pair_budget_scale > 1.0, \
+        "overflow framing must raise the budget scale"
+    assert clean, "escalation must converge to a zero-overflow frame"
