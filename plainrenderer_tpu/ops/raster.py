@@ -992,9 +992,9 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     measured mean segment occupancy is ~80/510 bins main view and ~4/510
     for the alpha stream — so fixed (128, PX) evaluation paid ~2x (main)
     to ~30x (alpha) over the live lanes; 32-row slices keep the VPU work
-    proportional to live pairs + <=31 lanes of rounding (main-view fused
-    G-buffer kernel 6.3 -> 4.2 ms, alpha winner stage 5.5 -> 1.5 ms
-    measured on-chip)."""
+    proportional to live pairs + <=31 lanes of rounding (alpha winner
+    stage 5.5 -> 1.9 ms, atlas depth and main G-buffer ~15-30% off,
+    measured on-chip via tools/profile_frame)."""
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     tile = ty * pl.num_programs(1) + tx
@@ -1383,9 +1383,13 @@ def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
                 # px's winner is local slot l in this slice; coeff[c, px]
                 # then falls out of attr_slice^T (ew, n_attr) x onehot on
                 # the MXU. Winner slots are unique per pixel, so
-                # accumulation across slices is exact (disjoint supports);
-                # HIGHEST precision keeps f32 coeffs bit-exact through the
-                # bf16-pass decomposition (x 1.0 or 0.0). Slices keep the
+                # accumulation across slices is exact (disjoint supports).
+                # The one-hot side is EXACT in bf16 (0.0/1.0), so a manual
+                # hi+lo split of the f32 attr side needs only TWO bf16 MXU
+                # passes for ~16-bit-mantissa coefficients (vs 6 under
+                # Precision.HIGHEST; worst-case coeff relative error 2^-16
+                # -> sub-0.05-texel uv error at 4k textures, far below the
+                # bilinear filter's own u8 quantization). Slices keep the
                 # one-hot build + matmul proportional to where winners
                 # actually live instead of fixed 128-wide.
                 sel_sl = sel_all & ((slot_flat >> ew_shift)
@@ -1394,6 +1398,9 @@ def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
                 @pl.when(jnp.any(sel_sl))
                 def _():
                     attr_j = attr_cols[pl.ds(j * ew, ew), :]  # (ew, n_attr)
+                    a_hi = attr_j.astype(jnp.bfloat16)
+                    a_lo = (attr_j
+                            - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (ew, PX_PER_TILE), 0)
                     for s in range(sub):
@@ -1403,11 +1410,14 @@ def _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
                         def _(s=s):
                             onehot = ((slot_flat[s:s + 1] - base_sl)
                                       == lane) & sel
+                            oh = onehot.astype(jnp.bfloat16)
+                            dims = (((0,), (0,)), ((), ()))
                             vals = jax.lax.dot_general(
-                                attr_j, onehot.astype(jnp.float32),
-                                (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+                                a_hi, oh, dims,
+                                preferred_element_type=jnp.float32)
+                            vals = vals + jax.lax.dot_general(
+                                a_lo, oh, dims,
+                                preferred_element_type=jnp.float32)
                             coeff_ref[s] = coeff_ref[s] + vals
                 return 0
 

@@ -35,15 +35,17 @@ from . import gatherlib
 from .color_packing import pack_r11g11b10, unpack_r11g11b10
 from .raster import TILE_H, TILE_W
 
-# history window per tile, centered on the tile's MEAN reprojected
-# position (not the tile itself): uniform motion of any magnitude then
-# costs nothing, and only per-tile motion SPREAD consumes the margins.
-# Origins snap to the DMA grid (rows: 8, cols: 128), so the guaranteed
-# margin around the mean is >= (4, 64); pixels further out fall back to
-# the offscreen-reprojection path exactly like motion beyond the old
-# fixed margins did. Window bytes/flat-rows are half the old fixed
-# (32, 384) tile-anchored window — the gather cost is linear in rows.
-WIN_H = 24
+# history window per tile: x is centered on the tile's MEAN reprojected
+# position (uniform horizontal motion of any magnitude costs nothing;
+# only per-tile spread consumes the >= 64-texel snapped margin), y stays
+# TILE-anchored with the fixed 8-row margins. y must not follow the mean:
+# in split-frame band mode the window would clamp against the band's halo
+# where the single-device window clamps against the frame, diverging the
+# fallback pixel sets between the two (band-parity tests caught this);
+# x has the full frame width in both modes, so x centering is exact.
+# Flat gather rows drop 96 -> 64 vs the old fixed (32, 384) window — the
+# in-kernel gather cost is linear in rows.
+WIN_H = 32
 WIN_W = 256
 
 
@@ -127,13 +129,14 @@ def _history_tap_kernel(history_ref, coords_ref, out_ref, window,
     per-pixel positions). out (3*K + 1, TILE_H, TILE_W): rgb per tap +
     in-window flag (computed from tap 0 with a 2.5-texel margin).
     """
+    ty = pl.program_id(0)
     h = history_ref.shape[0]
     w = history_ref.shape[1]
-    # mean reprojected position of tap 0 -> window center (see WIN_H note)
+    # x: mean reprojected position -> window center; y: tile-anchored
+    # (see the WIN_H note for why y must not follow the mean)
     mean_x = jnp.sum(coords_ref[0]) * (1.0 / (TILE_H * TILE_W))
-    mean_y = jnp.sum(coords_ref[1]) * (1.0 / (TILE_H * TILE_W))
-    by = pl.multiple_of(jnp.clip(
-        (mean_y.astype(jnp.int32) - win_h // 2) // 8 * 8, 0, h - win_h), 8)
+    by = pl.multiple_of(
+        jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h), 8)
     bx = pl.multiple_of(jnp.clip(
         (mean_x.astype(jnp.int32) - win_w // 2) // 128 * 128,
         0, w - win_w), 128)
@@ -264,13 +267,14 @@ def _packed_planes_tap_kernel(planes_ref, coords_ref, out_ref, window, sem, *,
                               win_h: int, win_w: int, n_planes: int):
     """Like _history_tap_kernel but for N f16-pair-packed planes (used by the
     GI temporal filter, which carries 6 channels in 3 int32 planes)."""
+    ty = pl.program_id(0)
     h = planes_ref.shape[1]
     w = planes_ref.shape[2]
-    # mean reprojected position -> window center (see WIN_H note)
+    # x: mean reprojected position -> window center; y: tile-anchored
+    # (see the WIN_H note for why y must not follow the mean)
     mean_x = jnp.sum(coords_ref[0]) * (1.0 / (TILE_H * TILE_W))
-    mean_y = jnp.sum(coords_ref[1]) * (1.0 / (TILE_H * TILE_W))
-    by = pl.multiple_of(jnp.clip(
-        (mean_y.astype(jnp.int32) - win_h // 2) // 8 * 8, 0, h - win_h), 8)
+    by = pl.multiple_of(
+        jnp.clip(ty * TILE_H - (win_h - TILE_H) // 2, 0, h - win_h), 8)
     bx = pl.multiple_of(jnp.clip(
         (mean_x.astype(jnp.int32) - win_w // 2) // 128 * 128,
         0, w - win_w), 128)

@@ -352,8 +352,12 @@ def test_alpha_banners_render_with_holes():
     box = (slice(y0, y1 + 1), slice(x0, x1 + 1))
     # the changed-pixel bbox also sweeps in the banners' shadows, so only
     # a small share of it stays background — but a fully OPAQUE banner
-    # (broken alpha path) leaves ~0 unchanged pixels inside its bbox
-    same_in_box = (np.abs(img[box] - img0[box]).max(-1) <= 2).mean()
+    # (broken alpha path) leaves ~0 unchanged pixels inside its bbox.
+    # Tolerance 8: adding banners changes the scene's depth range, which
+    # (with the reference-parity sky-excluded cascade fit) refits the
+    # cascade matrices and shifts every shadow tap by sub-texel amounts —
+    # background seen through cut-outs matches to a few LSB, not exactly
+    same_in_box = (np.abs(img[box] - img0[box]).max(-1) <= 8).mean()
     assert same_in_box > 0.04, same_in_box
 
 

