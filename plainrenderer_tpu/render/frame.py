@@ -428,7 +428,18 @@ def render_frame(
         # scale recompiles with proportionally larger pair streams
         return int(budget * settings.pair_budget_scale)
 
-    m_budget = scaled(t_count // 4 + 8 * nty * m_sub * ntx)
+    # band mode: each band's sub-frustum culls to a slice of the scene, so
+    # the triangle-proportional budget term shares out across bands (kept
+    # at 2x the even share — a band can legitimately hold well over 1/N of
+    # the visible triangles; the overflow counter + App auto-escalation
+    # cover pathological framings). Every O(budget) binning stage then
+    # scales with the mesh instead of replicating (PERF_r05 projection).
+    n_dev_bands = (max(1, full_height // height)
+                   if (axis_name is not None and full_height) else 1)
+    band_share = max(1, n_dev_bands // 2)
+
+    m_budget = scaled(t_count // (4 * band_share)
+                      + 8 * nty * m_sub * ntx)
     if alpha_masks is None:
         pairs = raster.build_pairs(setup, nty, ntx, bin_rows=m_sub,
                                    order_rows=True, pair_budget=m_budget,
@@ -461,7 +472,8 @@ def render_frame(
         d1, v1, g1 = raster.rasterize_gbuffer(
             pe_o, pa_o, pairs_o, nty, ntx, interpret=interpret,
             sub=m_sub, row_skip=True)
-        ma_budget = scaled(t_count // 32 + 4 * nty * m_sub * ntx)
+        ma_budget = scaled(t_count // (32 * band_share)
+                           + 4 * nty * m_sub * ntx)
         pairs_a = raster.build_pairs(setup_a, nty, ntx, bin_rows=m_sub,
                                      order_rows=True,
                                      pair_budget=ma_budget,

@@ -67,7 +67,9 @@ class App:
             self.scene = frame_mod.attach_global_sdf(self.scene, gsdf)
 
         self.luts = frame_mod.bake_static_luts(settings)
-        self.state = initial_state(settings.width, settings.height)
+        self.state = initial_state(settings.width, settings.height,
+                                   gi_half_res=settings.sdf_trace
+                                   .half_resolution)
         self._dt = jnp
 
     def _load_or_bake_sdf(self, rs, scene_data, resolution_cap):
@@ -114,9 +116,17 @@ class App:
         first frame at a new settings hash pays an XLA compile unless it was
         precompiled (precompile_variants) or sits in the persistent cache —
         the staleness-flag analog of RenderFrontend.cpp:233-264."""
-        if (settings.width, settings.height) != (self.settings.width,
-                                                 self.settings.height):
-            self.state = initial_state(settings.width, settings.height)
+        old = self.settings
+        if ((settings.width, settings.height,
+             settings.sdf_trace.half_resolution)
+                != (old.width, old.height,
+                    old.sdf_trace.half_resolution)):
+            # resolution OR GI-resolution change re-sizes the state
+            # buffers (the gi_history plane is sized by the half-res
+            # toggle — full-res GI crashed at the pad until round 5)
+            self.state = initial_state(
+                settings.width, settings.height,
+                gi_half_res=settings.sdf_trace.half_resolution)
         self.settings = settings
 
     def default_toggle_variants(self) -> list:

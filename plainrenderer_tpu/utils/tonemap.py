@@ -37,13 +37,24 @@ def _rrt_odt_fit(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def aces_fitted(color: jnp.ndarray) -> jnp.ndarray:
-    """tonemapping.inc:40-49 — fitted ACES RRT+ODT; color is (..., 3)."""
-    m_in = jnp.asarray(_ACES_INPUT, dtype=color.dtype)
-    m_out = jnp.asarray(_ACES_OUTPUT, dtype=color.dtype)
-    c = jnp.einsum("ij,...j->...i", m_in, color)
-    c = _rrt_odt_fit(c)
-    c = jnp.einsum("ij,...j->...i", m_out, c)
-    return jnp.clip(c, 0.0, 1.0)
+    """tonemapping.inc:40-49 — fitted ACES RRT+ODT; color is (..., 3).
+
+    The 3x3 transforms are explicit scalar FMAs, NOT an einsum: on TPU an
+    einsum lowers to an MXU matmul whose default precision is bf16, which
+    broke the curve's monotonicity at the ~4e-3 relative level (the round-4
+    parity FAIL was platform-dependent for exactly this reason — CPU ran
+    the same einsum in f32). The GLSL reference is scalar FMA math too."""
+    r, g, b = color[..., 0], color[..., 1], color[..., 2]
+
+    def mat3(m, r, g, b):
+        return (m[0][0] * r + m[0][1] * g + m[0][2] * b,
+                m[1][0] * r + m[1][1] * g + m[1][2] * b,
+                m[2][0] * r + m[2][1] * g + m[2][2] * b)
+
+    r, g, b = mat3(_ACES_INPUT, r, g, b)
+    r, g, b = _rrt_odt_fit(r), _rrt_odt_fit(g), _rrt_odt_fit(b)
+    r, g, b = mat3(_ACES_OUTPUT, r, g, b)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
 def aces_fitted_planar(color: jnp.ndarray) -> jnp.ndarray:

@@ -12,8 +12,14 @@ we must update jax.config directly before any backend initializes.
 
 import os
 
+# PLAIN_TESTS_TPU=1 runs the suite against the real chip instead (used by
+# tests/test_tpu_only.py's hardware-accuracy checks; everything else also
+# works on-chip, just slower to compile).
+_USE_TPU = os.environ.get("PLAIN_TESTS_TPU") == "1"
+
 # Harmless if jax reads them later; the authoritative override is below.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,7 +29,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the parallel/golden tests jit the WHOLE frame
 # program on CPU (minutes of XLA compile each, the bulk of suite latency —

@@ -453,3 +453,36 @@ def test_shadow_stream_split_matches_single_stream(rng):
     assert (d_split > 0).sum() > 500  # scene actually covers pixels
     # the alpha checkerboard actually cut holes somewhere
     assert int(pairs_a.overflow) == 0 and int(pairs_o.overflow) == 0
+
+
+@pytest.mark.parametrize("expand_impl", ["kernel", "xla"])
+def test_carry_table_matches_gather(rng, expand_impl):
+    """build_pairs(carry_table=...) — the sort-carried setup-row path —
+    must produce exactly the same per-tile segments AND the same pair-order
+    rows as the XLA gather path (gather_pair_setups) for every live slot,
+    on both expansion implementations."""
+    n = 120
+    t = rng.random((n, 3, 3)).astype(np.float32)
+    t[:, :, :2] *= 0.9
+    setup = make_setup(t)
+    table, n_edge = raster.setup_row_table(setup, True, row_extents=True)
+
+    pairs1 = raster.build_pairs(setup, NTY, NTX, order_rows=True,
+                                expand_impl=expand_impl, interpret=True)
+    pe, pa = raster.gather_pair_setups(setup, pairs1, True,
+                                       row_extents=True)
+    pairs2, rows = raster.build_pairs(setup, NTY, NTX, order_rows=True,
+                                      expand_impl=expand_impl,
+                                      carry_table=table, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pairs1.tile_start),
+                                  np.asarray(pairs2.tile_start))
+    np.testing.assert_array_equal(np.asarray(pairs1.tile_count),
+                                  np.asarray(pairs2.tile_count))
+    # live prefix of the sorted stream: identical rows (tails differ —
+    # degenerate entry vs zeros — and are masked by segment counts)
+    total = int(np.asarray(pairs1.tile_count).sum())
+    got = np.asarray(rows)
+    np.testing.assert_array_equal(got[:n_edge, :total],
+                                  np.asarray(pe)[:, :total])
+    np.testing.assert_array_equal(got[n_edge:, :total],
+                                  np.asarray(pa)[:, :total])

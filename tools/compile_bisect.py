@@ -55,7 +55,12 @@ def main():
     def want(s):
         if s == "depth8a":
             # NOT in the current frame (alpha shadow casters raster at
-            # sub=2); 302 s Mosaic compile measured — explicit only
+            # sub=4); 302 s Mosaic compile measured — explicit only
+            if "all" in stages and s not in stages:
+                print("# NOTE: stage depth8a (alpha depth at sub=8, the "
+                      "historical 302 s compile bomb) is SKIPPED by 'all' "
+                      "— run `--stage depth8a` explicitly to re-check it",
+                      flush=True)
             return s in stages
         return "all" in stages or s in stages
 

@@ -48,8 +48,15 @@ def main():
     app = App(settings, str(REPO / "assets" / "demo" / "courtyard.plain"),
               with_gi=True, interpret=interpret)
 
-    lo = np.asarray(app.scene["object_bb_min"]).min(0)
-    hi = np.asarray(app.scene["object_bb_max"]).max(0)
+    lo_all = np.asarray(app.scene["object_bb_min"])
+    hi_all = np.asarray(app.scene["object_bb_max"])
+    # frame the BUILDINGS, not the ground slab: flat objects (tiny
+    # vertical extent) like the 24 m ground plane dominate the scene
+    # bounds and pushed the cameras ~15 m out into the fog
+    vert = hi_all[:, 1] - lo_all[:, 1]
+    solid = vert > 0.05 * max(vert.max(), 1e-6)
+    lo = lo_all[solid].min(0)
+    hi = hi_all[solid].max(0)
     center = (lo + hi) * 0.5
     ext = hi - lo
 
@@ -57,12 +64,14 @@ def main():
     # DEGREES; yaw 0 looks toward +x; the world is y-down, so negative
     # pitch looks downward (shell.py forward_vector)
     shots = [
-        ("courtyard", [lo[0] - 0.55 * ext[0], center[1] - 0.05 * ext[1],
-                       center[2]], 0.0, 4.0),
-        ("courtyard_ivy", [lo[0] - 0.25 * ext[0], center[1],
-                           lo[2] + 0.2 * ext[2]], 20.0, 2.0),
-        ("courtyard_high", [lo[0] - 0.7 * ext[0], lo[1] - 0.25 * ext[1],
-                            center[2]], 0.0, -18.0),
+        # close-in framings around the building cluster (a few meters of
+        # standoff; distant cameras drown the diorama in froxel fog)
+        ("courtyard", [lo[0] - 0.45 * ext[0], center[1] - 0.15 * ext[1],
+                       center[2]], 0.0, 8.0),
+        ("courtyard_ivy", [center[0] - 0.3 * ext[0], center[1] - 0.1 * ext[1],
+                           lo[2] - 0.35 * ext[2]], 40.0, 6.0),
+        ("courtyard_high", [lo[0] - 0.6 * ext[0], lo[1] - 0.8 * ext[1],
+                            center[2]], 0.0, -24.0),
     ]
     from plainrenderer_tpu.render.state import initial_state
 

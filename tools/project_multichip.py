@@ -17,12 +17,17 @@ uses the measured single-chip per-pass table (tools/profile_frame.py
              all_gather of the maps over ICI (modeled at 45 GB/s/link
              bidirectional ring: n_cas * sres^2 * 4B * (N-1)/N bytes
              through each link);
+  - budget — the binning machinery (bin.expand/sort/segments +
+             gather_pair_setups, main view and atlas): O(static pair
+             budget), and in band mode the budgets' triangle-proportional
+             terms are sized at 2x the even band share
+             (render/frame.py band_share), so the cost scales ~2/N
+             (modeled as exactly 2/N; the residual grid-floor term makes
+             that slightly optimistic for tiny scenes, irrelevant at
+             bench sizes where the triangle term dominates);
   - repl   — per-device work that does NOT scale with N: full-stream
-             geometry/setup stages, and the main-view BINNING MACHINERY
-             (bin.expand/sort/segments + gather_pair_setups), whose cost
-             is O(static pair budget) — the budget's t/4 term does not
-             shrink with the band count, only the grid-floor term does.
-             Classifying those as repl is deliberately conservative.
+             geometry/setup stages (main-view geometry_setup, the atlas
+             geometry stage before its band slice, LUT bakes).
 
 Scopes that match no rule default to band (divided by N) — that makes the
 projection OPTIMISTIC for unlisted replicated work, NOT pessimistic, so
@@ -47,20 +52,29 @@ REPLICATED = (
     "atlas/shadow.atlas_setup",  # atlas geometry stage, pre-band-slice
     "shadow.atlas_setup",
     "sky.lut",                 # one bake, same on every device
-    # main-view binning machinery: O(static budget), budget ~ t/4 + grid;
-    # the t/4 term is band-invariant (a band may contain every triangle)
+    # the atlas geometry stage's vmapped concatenate shows up unscoped in
+    # profiles (validated against .cache/frame_hlo.txt metadata: its
+    # op_name is shadow.atlas_setup/vmap(raster.geometry_setup)/concat)
+    "(unscoped:bitcast_dynamic-update-s)",
+)
+# binning machinery: O(static pair budget); budgets size their
+# triangle-proportional term at 2x the even band share -> cost ~ 2/N
+BUDGET = (
     "raster.build_pairs",
     "raster.gather_pair_setups",
 )
 # scopes sharded into atlas row bands (1/N): the whole atlas phase except
-# the REPLICATED entries above (checked first)
+# the REPLICATED/BUDGET entries above (checked first)
 ATLAS = ("atlas/",)
 
 
 def classify(name: str) -> str:
     for p in REPLICATED:
-        if name.startswith(p) or name.startswith("atlas/" + p):
+        if name.startswith(p):
             return "repl"
+    for p in BUDGET:
+        if name.startswith(p) or name.startswith("atlas/" + p):
+            return "budget"
     for p in ATLAS:
         if name.startswith(p):
             return "atlas"
@@ -84,7 +98,8 @@ def main():
         "raster.", "atlas/", "shadow.", "sdfgi.", "taa.", "volumetrics.",
         "texture.", "shade.", "sky.", "bloom", "post.", "exposure.",
         "scene.", "st.")
-    buckets = {"band": 0.0, "atlas": 0.0, "repl": 0.0}
+    buckets = {"band": 0.0, "atlas": 0.0, "repl": 0.0,
+               "budget": 0.0}
     rows = []
     defaulted = []
     for name, ms_f in sorted(per_scope.items(), key=lambda kv: -kv[1]):
@@ -100,12 +115,15 @@ def main():
     gather_ms = gather_bytes / (args.ici_gbps * 1e9) * 1e3
     halo_ms = 0.15  # ppermute border rows (measured class: tens of MB, us)
     t1 = sum(buckets.values())
-    tn = (buckets["band"] / n + buckets["atlas"] / n + buckets["repl"]
+    budget_scale = min(1.0, 2.0 / n)
+    tn = (buckets["band"] / n + buckets["atlas"] / n
+          + buckets["budget"] * budget_scale + buckets["repl"]
           + gather_ms + halo_ms)
 
     print(f"single-chip total: {t1:8.2f} ms")
     print(f"  band (pixel-space, /N):  {buckets['band']:8.2f} ms")
     print(f"  atlas (row bands, /N):   {buckets['atlas']:8.2f} ms")
+    print(f"  budget-bound (x2/N):     {buckets['budget']:8.2f} ms")
     print(f"  replicated (x1):         {buckets['repl']:8.2f} ms")
     print(f"  + all_gather(maps) @ {args.ici_gbps:.0f} GB/s: {gather_ms:6.2f} ms")
     print(f"  + halo exchanges:        {halo_ms:8.2f} ms")
