@@ -1163,7 +1163,8 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
                         acc_ref, edge_buf, cols_ref, sems, *, track_winner: bool,
                         depth_clamp: bool = False, masks_ref=None,
                         sub: int = 1,
-                        row_skip: bool = False, init_ref=None):
+                        row_skip: bool = False, init_ref=None,
+                        eval_width: int | None = None):
     """Shared visibility loop: stream GROUP-sized pair-setup slices, evaluate
     edge+depth planes on the MXU, resolve a packed (depth | slot) max.
 
@@ -1231,7 +1232,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
     def _():
         group_dma(0, 0).start()
 
-    ew = min(EVAL_WIDTH, GROUP)
+    ew = min(eval_width or EVAL_WIDTH, GROUP)
     n_slices = GROUP // ew
 
     def group_body(g, _):
@@ -1253,7 +1254,23 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         # precision decomposition — verified exact on-chip for (16,128) and
         # (40,128) f32 inputs.) Written to scratch so the eval slices below
         # can take DYNAMIC sublane windows of it.
-        cols_ref[...] = mat.T  # (GROUP, n_rows)
+        colsT = mat.T  # (GROUP, n_rows)
+        # SEGMENT MASK AS COEFFICIENT POISON (round 5): pairs outside this
+        # tile's [start, start + count) stream range (the group-aligned
+        # lead-in and tail belong to NEIGHBORING tiles) get plane 0's c
+        # coefficient set to -3e38, so e0 evaluates hugely negative and
+        # coverage is impossible. This replaces the per-pixel seg_ok mask
+        # — 3-4 VPU ops over (ew, PX) per eval slice, ~10% of the whole
+        # depth pass at bench sizes — with one (GROUP, 1) select per DMA
+        # group. b*y + c stays finite (|b*y| bounded by plane magnitudes
+        # << 1e33), so the eval never overflows to NaN via inf - inf.
+        gidx = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+                + g * GROUP)
+        dead = (gidx < lead) | (gidx >= lead + count)
+        cols_ref[...] = jnp.where(
+            dead & (jax.lax.broadcasted_iota(
+                jnp.int32, (GROUP, colsT.shape[1]), 1) == 2),
+            jnp.float32(-3e38), colsT)
 
         def slice_body(j, _):
             row0 = g * GROUP + j * ew
@@ -1271,10 +1288,13 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         row0 = g * GROUP + j * ew
         cols = cols_ref[pl.ds(j * ew, ew), :]  # (ew, n_rows)
 
-        # mask rows outside this tile's [start, start+count) segment
-        row = (jax.lax.broadcasted_iota(jnp.int32, (ew, PX_PER_TILE), 0)
-               + row0)
-        seg_ok = (row >= lead) & (row < lead + count)
+        # rows outside this tile's [start, start+count) segment are dead
+        # by coefficient poison (see the group_body transpose store); the
+        # winner path still needs the per-pair stream index for the slot
+        # packing
+        if track_winner:
+            row = (jax.lax.broadcasted_iota(
+                jnp.int32, (ew, PX_PER_TILE), 0) + row0)
 
         if masks_ref is not None:
             # alpha test: mask-slot plane is constant per pair -> row 30
@@ -1317,8 +1337,9 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             e1 = plane_eval(1)
             e2 = plane_eval(2)
             zz = plane_eval(3)
+            # dead (out-of-segment) pairs carry a poisoned plane-0 c, so
+            # e0 < 0 excludes them here without a per-pixel segment mask
             cov0 = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
-            cov0 = cov0 & seg_ok
 
             def commit(cov):
                 """Depth pack + running max — a ref effect, so it can live
@@ -1424,28 +1445,30 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
 
 def _depth_kernel(start_ref, count_ref, edges_ref, depth_ref,
-                  acc_ref, edge_buf, cols_ref, sems, *, sub=1, row_skip=False):
+                  acc_ref, edge_buf, cols_ref, sems, *, sub=1, row_skip=False,
+                  eval_width=None):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, cols_ref, sems, track_winner=False,
-                        depth_clamp=True, sub=sub, row_skip=row_skip)
+                        depth_clamp=True, sub=sub, row_skip=row_skip,
+                        eval_width=eval_width)
 
 
 def _depth_kernel_alpha(start_ref, count_ref, edges_ref, masks_ref,
                         depth_ref, acc_ref, edge_buf, cols_ref, sems,
-                        *, sub=1, row_skip=False):
+                        *, sub=1, row_skip=False, eval_width=None):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, cols_ref, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
-                        sub=sub, row_skip=row_skip)
+                        sub=sub, row_skip=row_skip, eval_width=eval_width)
 
 
 def _depth_kernel_alpha_acc(start_ref, count_ref, edges_ref, masks_ref,
                             init_ref, depth_ref, acc_ref, edge_buf, cols_ref,
-                            sems, *, sub=1, row_skip=False):
+                            sems, *, sub=1, row_skip=False, eval_width=None):
     _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, None,
                         acc_ref, edge_buf, cols_ref, sems, track_winner=False,
                         depth_clamp=True, masks_ref=masks_ref,
-                        sub=sub, row_skip=row_skip,
+                        sub=sub, row_skip=row_skip, eval_width=eval_width,
                         init_ref=init_ref)
 
 
@@ -1453,7 +1476,8 @@ def _depth_kernel_alpha_acc(start_ref, count_ref, edges_ref, masks_ref,
 def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
                     n_tiles_x: int, interpret: bool = False,
                     alpha_masks=None, sub: int = 1,
-                    row_skip: bool = False, init_depth=None):
+                    row_skip: bool = False, init_depth=None,
+                    eval_width: int | None = None):
     """Depth-only rasterization (sun-shadow cascades, sunShadow.frag parity,
     including its alpha clip when alpha_masks is given).
 
@@ -1505,11 +1529,11 @@ def rasterize_depth(pair_edges, pairs: PairLists, n_tiles_y: int,
     w = n_tiles_x * TILE_W
     if init_depth is not None:
         kern = functools.partial(_depth_kernel_alpha_acc, sub=sub,
-                                 row_skip=row_skip)
+                                 row_skip=row_skip, eval_width=eval_width)
     else:
         kern = functools.partial(
             _depth_kernel_alpha if alpha else _depth_kernel, sub=sub,
-            row_skip=row_skip)
+            row_skip=row_skip, eval_width=eval_width)
     (depth,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

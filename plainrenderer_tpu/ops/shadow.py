@@ -260,11 +260,19 @@ def _shadow_resolve_kernel(
             off_scale_u = sample_radius * scale_x * 0.5 * map_size
             off_scale_v = sample_radius * scale_y * 0.5 * map_size
             acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            # angle-addition split: cos/sin of the per-pixel noise rotation
+            # ONCE, per-tap rotation by compile-time constants (cos(a + b)
+            # = cos a cos b - sin a sin b) — replaces 2 transcendentals per
+            # tap per pixel with 2 per pixel (the spiral radius sqrt stays:
+            # it depends on the tap index AND noise)
+            cn = jnp.cos(noise * (2.0 * jnp.pi))
+            sn = jnp.sin(noise * (2.0 * jnp.pi))
             for i in range(taps):
                 d = jnp.sqrt((i + 0.5 * noise) / taps)
-                angle = noise * 2.0 * jnp.pi + 2.0 * jnp.pi * i / taps
-                du = jnp.cos(angle) * d * off_scale_u
-                dv = jnp.sin(angle) * d * off_scale_v
+                cb = float(np.cos(2.0 * np.pi * i / taps))
+                sb = float(np.sin(2.0 * np.pi * i / taps))
+                du = (cn * cb - sn * sb) * d * off_scale_u
+                dv = (sn * cb + cn * sb) * d * off_scale_v
                 sx = jnp.round(lu + du).astype(jnp.int32)
                 sy = jnp.round(lv + dv).astype(jnp.int32)
                 # u16-pair word fetch + halfword extract (D16 parity: the

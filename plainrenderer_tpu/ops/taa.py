@@ -91,14 +91,25 @@ def _neighborhood(color):
     return [[p.tap(-dy, -dx) for dx in (-1, 0, 1)] for dy in (-1, 0, 1)]
 
 
+def _fast_recip(x):
+    """1/x for x > 0 as rsqrt^2 + one Newton step (~1 ulp) — the TPU VPU
+    lowers a full-precision f32 divide to a long software sequence; this
+    is the XLA-side twin of ops/raster._kernel_recip, used where the TAA
+    filter divides whole 1080p planes."""
+    r = jax.lax.rsqrt(x)
+    r = r * r
+    return r * (2.0 - x * r)
+
+
 def _reversible_tonemap(c):
     """temporalReprojection.inc:37-40."""
-    return c / (1.0 + luminance(c, axis=0)[None])
+    return c * _fast_recip(1.0 + luminance(c, axis=0)[None])
 
 
 def _reversible_tonemap_inverse(c):
     """temporalReprojection.inc:42-44."""
-    return c / jnp.maximum(1.0 - luminance(c, axis=0)[None], 1e-4)
+    return c * _fast_recip(jnp.maximum(1.0 - luminance(c, axis=0)[None],
+                                       1e-4))
 
 
 def dilate_motion(motion, depth):
@@ -577,9 +588,11 @@ def temporal_filter(
         c = 0.5 * (nb_max + nb_min)
         e = 0.5 * (nb_max - nb_min) + 1e-4
         to_t = hist - c
-        norm = jnp.abs(to_t / e)
+        norm = jnp.abs(to_t * _fast_recip(e))
         max_comp = jnp.max(norm, axis=0, keepdims=True)
-        hist = jnp.where(max_comp < 1.0, hist, c + to_t / max_comp)
+        hist = jnp.where(
+            max_comp < 1.0, hist,
+            c + to_t * _fast_recip(jnp.maximum(max_comp, 1e-6)))
     else:
         hist = jnp.clip(hist, nb_min, nb_max)
     hist = jnp.where(jnp.isnan(hist), resolved, hist)

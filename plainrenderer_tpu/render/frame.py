@@ -186,21 +186,30 @@ def shadow_atlas_setup(scene, g_corners, g_normals, g_tangents,
                 m, obj_bb_min, obj_bb_max,
                 cull_z=False),
             scene["tri_starts"], t_count))(cas_mats)
+    # edges out_axes=2: the vmapped geometry stage emits (3, n_pl, n_cas,
+    # T) directly, so flattening cascades into the atlas triangle stream
+    # is a FREE trailing-dims reshape — the previous (n_cas, 3, n_pl, T)
+    # transpose(1, 2, 0, 3) copied the whole 84 MB 8-plane edge table
+    # (~1.9 ms/frame as unscoped bitcast/dynamic-update-slice ops in the
+    # round-5 profile)
     s_setup = jax.vmap(
         lambda m, vis: raster.geometry_setup(
             g_corners, scene["corner_uvs"],
             g_normals, g_tangents,
             g_bitangents, scene["tri_material"],
             vis, m, m, sres, sres, cull="front", with_attrs=False,
-            tri_alpha_slot=alpha_slots, bin_rows=sub)
+            tri_alpha_slot=alpha_slots, bin_rows=sub),
+        out_axes=raster.TriangleSetup(
+            edges=2, attrs=0, tile_bbox=0, valid=0, fine_y=0),
     )(cas_mats, cas_visible)
     # shift each cascade's edge planes into its atlas row band:
     # evaluating at atlas y needs c' = c - b*off, and offset bboxes
     y_off = (jnp.arange(n_cas, dtype=jnp.float32)
-             * sres).reshape(n_cas, 1, 1)
-    edges_a = s_setup.edges.at[:, 2].add(-s_setup.edges[:, 1] * y_off)
-    n_pl = edges_a.shape[2]
-    edges_a = edges_a.transpose(1, 2, 0, 3).reshape(3, n_pl, -1)
+             * sres).reshape(1, n_cas, 1)
+    # coeff axis is 0 in the out_axes=2 layout (3, n_pl, n_cas, T)
+    edges_a = s_setup.edges.at[2].add(-s_setup.edges[1] * y_off)
+    n_pl = edges_a.shape[1]
+    edges_a = edges_a.reshape(3, n_pl, -1)
     offs = (jnp.arange(n_cas, dtype=jnp.int32) * s_nty)[:, None]
     bbox_a = s_setup.tile_bbox.at[..., 0].add(offs)
     bbox_a = bbox_a.at[..., 2].add(offs)
@@ -614,12 +623,16 @@ def render_frame(
                 nb_d = nb
                 atlas_row0 = None
             # atlas t_count is n_cas * T; front-face culling plus per-cascade
-            # frustum culling leaves ~20% live at bench framing (175k of 878k
-            # slots measured) — budget a third, guarded by the overflow
-            # counter. Sharded: 2x the even share per band.
+            # frustum culling leaves ~12% live at bench framing (108k of 878k
+            # slots, 128.6k pairs measured — tools/atlas_cost_model.py).
+            # Budget 1/6 + a per-bin floor = 1.33x measured headroom: every
+            # binning stage (expand, sort, segments, setup gather) is
+            # O(budget), and the App path auto-escalates pair_budget_scale
+            # on overflow, so tight-by-default is safe (VERDICT r4 task 7).
+            # Sharded: 2x the even share per band.
             s_budget = scaled((n_cas * t_count)
-                              // (4 * max(n_dev_atlas // 2, 1))
-                              + 8 * nb_d * s_sub * s_ntx)
+                              // (6 * max(n_dev_atlas // 2, 1))
+                              + 4 * nb_d * s_sub * s_ntx)
 
             if alpha_masks is not None:
                 # OPAQUE/ALPHA STREAM SPLIT: the alpha path (3 extra plane
@@ -649,9 +662,14 @@ def render_frame(
                                              interpret=interpret)
                 edges_o, _ = raster.gather_pair_setups(setup_o, pairs_o, False,
                                                        row_extents=True)
+                # eval_width=16: the opaque caster stream's fine-row spans
+                # (1.75 rows/pair measured, tools/atlas_cost_model.py) make
+                # 32-pair slices evaluate 1.86x the ideal pair-px volume;
+                # 16-pair slices cut that to 1.51x for ~2 ms/frame
                 atlas = raster.rasterize_depth(edges_o, pairs_o, nb_d,
                                                s_ntx, interpret=interpret,
-                                               sub=s_sub, row_skip=True)
+                                               sub=s_sub, row_skip=True,
+                                               eval_width=16)
                 # The alpha depth kernel at sub=8 was the single worst Mosaic
                 # compile in the frame (146 s measured: 8 unrolled copies of
                 # the UV/mask-gather body). The alpha stream is tiny (banner
@@ -713,7 +731,8 @@ def render_frame(
                     setup_full, s_pairs, False, row_extents=True)
                 atlas = raster.rasterize_depth(s_edges, s_pairs, nb_d,
                                                s_ntx, interpret=interpret,
-                                               sub=s_sub, row_skip=True)
+                                               sub=s_sub, row_skip=True,
+                                               eval_width=16)
             if n_dev_atlas > 1:
                 # reassemble the full atlas from the device bands over ICI;
                 # ceil-padded tail rows (if nb % n_dev != 0) are sliced off

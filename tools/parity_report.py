@@ -511,8 +511,14 @@ def check_gi_halfres():
             imgs.items()}
     mae = np.abs(luma[True] - luma[False]).mean() / 255.0
     frac2 = (np.abs(imgs[True] - imgs[False]).max(-1) <= 2).mean()
+    # NOTE: a near-zero MAE does NOT mean GI is off — the indirect term
+    # itself is strongly nonzero on this asset (round-5 probe: visualizing
+    # |y_sh| covers 84% of pixels at mean 0.07 HDR); indirect light is
+    # low-frequency, so the half-res trace + depth-aware upscale lands
+    # within u8 quantization of the full-res trace. That is the point of
+    # the reference's half-res default.
     row("SDF GI half-res default", "SDFGI.h:21 halfResolution toggle",
-        "half vs full-res GI, courtyard",
+        "half vs full-res GI, courtyard (GI term itself nonzero)",
         f"luma MAE {mae:.4f}, {frac2 * 100:.1f}% px within 2 LSB",
         "report (reference default: half)", True)
 
