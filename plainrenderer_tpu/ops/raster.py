@@ -1234,6 +1234,7 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
 
     ew = min(eval_width or EVAL_WIDTH, GROUP)
     n_slices = GROUP // ew
+    use_poison = masks_ref is None
 
     def group_body(g, _):
         slot = jax.lax.rem(g, 2)
@@ -1255,22 +1256,32 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         # (40,128) f32 inputs.) Written to scratch so the eval slices below
         # can take DYNAMIC sublane windows of it.
         colsT = mat.T  # (GROUP, n_rows)
-        # SEGMENT MASK AS COEFFICIENT POISON (round 5): pairs outside this
-        # tile's [start, start + count) stream range (the group-aligned
-        # lead-in and tail belong to NEIGHBORING tiles) get plane 0's c
-        # coefficient set to -3e38, so e0 evaluates hugely negative and
-        # coverage is impossible. This replaces the per-pixel seg_ok mask
-        # — 3-4 VPU ops over (ew, PX) per eval slice, ~10% of the whole
-        # depth pass at bench sizes — with one (GROUP, 1) select per DMA
-        # group. b*y + c stays finite (|b*y| bounded by plane magnitudes
-        # << 1e33), so the eval never overflows to NaN via inf - inf.
-        gidx = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-                + g * GROUP)
-        dead = (gidx < lead) | (gidx >= lead + count)
-        cols_ref[...] = jnp.where(
-            dead & (jax.lax.broadcasted_iota(
-                jnp.int32, (GROUP, colsT.shape[1]), 1) == 2),
-            jnp.float32(-3e38), colsT)
+        if use_poison:
+            # SEGMENT MASK AS COEFFICIENT POISON (round 5): pairs outside
+            # this tile's [start, start + count) stream range (the group-
+            # aligned lead-in and tail belong to NEIGHBORING tiles) get
+            # plane 0's c coefficient set to -3e38, so e0 evaluates hugely
+            # negative and coverage is impossible. This replaces the
+            # per-pixel seg_ok mask — 3-4 VPU ops over (ew, PX) per eval
+            # slice, ~10% of the whole depth pass at bench sizes — with
+            # one (GROUP, 1) select per DMA group. b*y + c stays finite
+            # (|b*y| bounded by plane magnitudes << 1e33), so the eval
+            # never overflows to NaN via inf - inf.
+            # ONLY for unmasked kernels: combined with the alpha-test
+            # body this select re-arms the Mosaic compile bomb (the
+            # production a_sub=4 acc variant went 8 -> 188.6 s, the sub=8
+            # one to 713.8 s — tools/compile_bisect.py --stage depth4a/
+            # depth8a); the alpha streams are tiny, so their kernels keep
+            # the per-pixel seg_ok instead.
+            gidx = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+                    + g * GROUP)
+            dead = (gidx < lead) | (gidx >= lead + count)
+            cols_ref[...] = jnp.where(
+                dead & (jax.lax.broadcasted_iota(
+                    jnp.int32, (GROUP, colsT.shape[1]), 1) == 2),
+                jnp.float32(-3e38), colsT)
+        else:
+            cols_ref[...] = colsT
 
         def slice_body(j, _):
             row0 = g * GROUP + j * ew
@@ -1289,12 +1300,16 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
         cols = cols_ref[pl.ds(j * ew, ew), :]  # (ew, n_rows)
 
         # rows outside this tile's [start, start+count) segment are dead
-        # by coefficient poison (see the group_body transpose store); the
-        # winner path still needs the per-pair stream index for the slot
-        # packing
-        if track_winner:
+        # by coefficient poison in unmasked kernels (see the group_body
+        # transpose store); masked (alpha) kernels keep the per-pixel
+        # seg_ok mask (poison + the alpha body = Mosaic compile bomb).
+        # The winner path additionally needs the per-pair stream index
+        # for the slot packing.
+        if track_winner or not use_poison:
             row = (jax.lax.broadcasted_iota(
                 jnp.int32, (ew, PX_PER_TILE), 0) + row0)
+        if not use_poison:
+            seg_ok = (row >= lead) & (row < lead + count)
 
         if masks_ref is not None:
             # alpha test: mask-slot plane is constant per pair -> row 30
@@ -1339,7 +1354,10 @@ def _depth_resolve_loop(start_ref, count_ref, edges_ref, depth_ref, vis_ref,
             zz = plane_eval(3)
             # dead (out-of-segment) pairs carry a poisoned plane-0 c, so
             # e0 < 0 excludes them here without a per-pixel segment mask
+            # (unmasked kernels); alpha kernels mask explicitly
             cov0 = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+            if not use_poison:
+                cov0 = cov0 & seg_ok
 
             def commit(cov):
                 """Depth pack + running max — a ref effect, so it can live

@@ -182,10 +182,17 @@ def _trace_kernel(
     wy0 = (by0 * BRICK).astype(jnp.float32)
     wz0 = (bz0 * BRICK).astype(jnp.float32)
 
+    # voxel is a traced scalar: Mosaic lowers each in-loop f32 divide to a
+    # long VPU software sequence — 3 per march step through window_coords.
+    # One reciprocal (rsqrt^2 + Newton, ~1 ulp) turns them into multiplies.
+    r_v = jax.lax.rsqrt(voxel)
+    r_v = r_v * r_v
+    inv_voxel = r_v * (2.0 - voxel * r_v)
+
     def window_coords(px, py, pz, with_inside=False):
-        gxr = (px - ox) / voxel - wx0
-        gyr = (py - oy) / voxel - wy0
-        gzr = (pz - oz) / voxel - wz0
+        gxr = (px - ox) * inv_voxel - wx0
+        gyr = (py - oy) * inv_voxel - wy0
+        gzr = (pz - oz) * inv_voxel - wz0
         gx = jnp.clip(gxr, 0.0, WINDOW - 1.0)
         gy = jnp.clip(gyr, 0.0, WINDOW - 1.0)
         gz = jnp.clip(gzr, 0.0, WINDOW - 1.0)
@@ -344,12 +351,14 @@ def _trace_kernel(
         coarse_table = coarse_sdf_ref[...]
         coarse_alb_table = coarse_alb_ref[...]
 
+        inv_voxel_c = inv_voxel * (1.0 / float(coarse_f))
+
         def sample_coarse(px_, py_, pz_):
-            gx = jnp.clip((px_ - ox) / voxel_c, 0.0,
+            gx = jnp.clip((px_ - ox) * inv_voxel_c, 0.0,
                           cww.astype(jnp.float32) - 1.0)
-            gy = jnp.clip((py_ - oy) / voxel_c, 0.0,
+            gy = jnp.clip((py_ - oy) * inv_voxel_c, 0.0,
                           chh.astype(jnp.float32) - 1.0)
-            gz = jnp.clip((pz_ - oz) / voxel_c, 0.0,
+            gz = jnp.clip((pz_ - oz) * inv_voxel_c, 0.0,
                           cd.astype(jnp.float32) - 1.0)
             ix = gx.astype(jnp.int32)
             iy = gy.astype(jnp.int32)

@@ -268,7 +268,7 @@ def _shadow_resolve_kernel(
             cn = jnp.cos(noise * (2.0 * jnp.pi))
             sn = jnp.sin(noise * (2.0 * jnp.pi))
             for i in range(taps):
-                d = jnp.sqrt((i + 0.5 * noise) / taps)
+                d = jnp.sqrt((i + 0.5 * noise) * (1.0 / taps))
                 cb = float(np.cos(2.0 * np.pi * i / taps))
                 sb = float(np.sin(2.0 * np.pi * i / taps))
                 du = (cn * cb - sn * sb) * d * off_scale_u
@@ -289,7 +289,8 @@ def _shadow_resolve_kernel(
                           & (sx < map_size - bx) & (sy < map_size - by))
                 lit = jnp.where(receiver >= texel, 1.0, 0.0)
                 acc = acc + jnp.where(inside, lit, 1.0)
-            out_ref[...] = jnp.where(mask, acc / taps, out_ref[...])
+            out_ref[...] = jnp.where(mask, acc * (1.0 / taps),
+                                     out_ref[...])
 
     out_ref[...] = jnp.where(valid, out_ref[...], 1.0)
 

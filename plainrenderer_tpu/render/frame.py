@@ -662,14 +662,16 @@ def render_frame(
                                              interpret=interpret)
                 edges_o, _ = raster.gather_pair_setups(setup_o, pairs_o, False,
                                                        row_extents=True)
-                # eval_width=16: the opaque caster stream's fine-row spans
-                # (1.75 rows/pair measured, tools/atlas_cost_model.py) make
-                # 32-pair slices evaluate 1.86x the ideal pair-px volume;
-                # 16-pair slices cut that to 1.51x for ~2 ms/frame
+                # eval_width stays at the default 32: the cost model
+                # says 16-pair slices cut eval volume 0.86 -> 0.70 G
+                # pair-px, but the measured on-chip A/B (tools/
+                # shadow_bench.py --culls front+rowskip+opaque+ewNN:
+                # 8.05 / 9.32 / 9.13 / 14.69 ms for ew 32/16/64/128)
+                # shows the per-slice fixed costs (dynamic sublane window
+                # read, row_skip reduce, gating) eat the win below 32
                 atlas = raster.rasterize_depth(edges_o, pairs_o, nb_d,
                                                s_ntx, interpret=interpret,
-                                               sub=s_sub, row_skip=True,
-                                               eval_width=16)
+                                               sub=s_sub, row_skip=True)
                 # The alpha depth kernel at sub=8 was the single worst Mosaic
                 # compile in the frame (146 s measured: 8 unrolled copies of
                 # the UV/mask-gather body). The alpha stream is tiny (banner
@@ -679,6 +681,11 @@ def render_frame(
                 # live pairs the pass is pure per-program overhead, measured
                 # 2.35 ms at sub=2's 3072 programs. (sub=1 would overflow the
                 # packed sort key at MAX_CASCADES x 2048 x 292k tris.)
+                # NOT s_sub: the sub=8 alpha-depth Mosaic compile bomb is
+                # alive and well — 713.8 s measured THIS round with the
+                # coefficient-poison formulation (tools/compile_bisect.py
+                # --stage depth8a); the ~1 ms/frame that a 768-program
+                # grid would save is not worth it
                 a_sub = min(4, s_sub)
                 a_nty = sres // (raster.TILE_H * a_sub)
                 fine_bbox = jnp.stack(
@@ -731,8 +738,7 @@ def render_frame(
                     setup_full, s_pairs, False, row_extents=True)
                 atlas = raster.rasterize_depth(s_edges, s_pairs, nb_d,
                                                s_ntx, interpret=interpret,
-                                               sub=s_sub, row_skip=True,
-                                               eval_width=16)
+                                               sub=s_sub, row_skip=True)
             if n_dev_atlas > 1:
                 # reassemble the full atlas from the device bands over ICI;
                 # ceil-padded tail rows (if nb % n_dev != 0) are sliced off

@@ -14,7 +14,7 @@ W, H = 256, 128
 
 
 def small_settings(**kw):
-    kw.setdefault("shadows", ShadowSettings(resolution=1024))
+    kw.setdefault("shadows", ShadowSettings(resolution=512))
     return RenderSettings(
         width=W, height=H,
         exposure_adaption_speed=1000.0,  # converge instantly in tests

@@ -17,7 +17,7 @@ def test_sharded_frame_8_devices():
         width=128, height=32 * n,
         sdf_trace=SDFTraceSettings(enabled=False),
         exposure_adaption_speed=1000.0,
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
     )
     scene = build_test_scene()
     luts = frame_mod.bake_static_luts(settings)
@@ -91,7 +91,7 @@ def test_band_matches_single_device_full_stack():
         sdf_trace=SDFTraceSettings(enabled=False),
         volumetrics=VolumetricsSettings(enabled=False),
         exposure_adaption_speed=1000.0,
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
     )
     scene = build_test_scene()
     img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
@@ -117,7 +117,7 @@ def test_band_fog_close_to_single_device():
         taa=TAASettings(enabled=False),
         bloom=BloomSettings(enabled=False),
         exposure_adaption_speed=1000.0,
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
     )
     scene = build_test_scene()
     img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
@@ -162,7 +162,7 @@ def test_band_alpha_shadow_matches_single_device():
         sdf_trace=SDFTraceSettings(enabled=False),
         volumetrics=VolumetricsSettings(enabled=False),
         exposure_adaption_speed=1000.0,
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
     )
     img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
 
@@ -193,7 +193,7 @@ def test_band_matches_single_device_with_gi():
         width=128, height=64 * n,
         sdf_trace=SDFTraceSettings(enabled=True, trace_steps=8),
         exposure_adaption_speed=1000.0,
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
     )
     img1, img2 = _render_band_vs_single(settings, n, scene, frames=2)
 

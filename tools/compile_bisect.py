@@ -119,11 +119,37 @@ def main():
                                           sub=sub)
         t("rasterize_depth sub=8", depth_plain, edges16, pairs)
 
+    if want("depth8w16"):
+        # the production opaque-atlas variant: row_skip + eval_width=16
+        def depth_w16(e, pr):
+            return raster.rasterize_depth(e, pr, 3 * s_nty, s_ntx,
+                                          sub=sub, row_skip=True,
+                                          eval_width=16)
+        t("rasterize_depth sub=8 rs ew16", depth_w16, edges16, pairs)
+
     if want("depth8a"):
         def depth_alpha(e, pr):
             return raster.rasterize_depth(e, pr, 3 * s_nty, s_ntx,
                                           alpha_masks=masks, sub=sub)
         t("rasterize_depth sub=8 alpha", depth_alpha, edges32, pairs)
+
+    if want("depth4a"):
+        # the PRODUCTION alpha shadow variant (frame.py a_sub=4 acc pass)
+        a_sub = 4
+        a_nty = 3 * (sres // (raster.TILE_H * a_sub))
+        init = jnp.zeros((a_nty * a_sub * raster.TILE_H, sres), jnp.float32)
+        pairs4 = raster.PairLists(
+            pair_tri=jnp.zeros((budget + raster.GROUP,), jnp.int32),
+            tile_start=jnp.zeros((a_nty * s_ntx,), jnp.int32),
+            tile_count=jnp.zeros((a_nty * s_ntx,), jnp.int32),
+            overflow=jnp.zeros((), jnp.int32))
+
+        def depth_alpha4(e, pr, ini):
+            return raster.rasterize_depth(e, pr, a_nty, s_ntx,
+                                          alpha_masks=masks, sub=a_sub,
+                                          init_depth=ini)
+        t("rasterize_depth sub=4 alpha acc", depth_alpha4, edges32, pairs4,
+          init)
 
     if want("gbuf") or want("gbufa"):
         pw, ph = raster.pad_resolution(1920, 1080)

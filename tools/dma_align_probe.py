@@ -63,6 +63,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"off={off}: FAILED — {type(e).__name__}: {e}"[:300])
 
+    # part 2: strided sublane read (in-kernel even/odd deinterleave of a
+    # DMA'd window — the alternative split-gather enabler)
+    def deint_kernel(src_ref, even_ref, odd_ref):
+        w = src_ref[...]
+        even_ref[...] = w[0::2]
+        odd_ref[...] = w[1::2]
+
+    @jax.jit
+    def run2(src):
+        return pl.pallas_call(
+            deint_kernel,
+            out_shape=[jax.ShapeDtypeStruct((16, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((16, 128), jnp.int32)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        )(src)
+
+    try:
+        t0 = time.time()
+        e, o = (np.asarray(v) for v in run2(src[:32]))
+        s = np.asarray(src[:32])
+        ok = (np.array_equal(e, s[0::2]) and np.array_equal(o, s[1::2]))
+        print(f"strided sublane read: {'OK' if ok else 'WRONG DATA'} "
+              f"({time.time() - t0:.1f}s)")
+    except Exception as ex:  # noqa: BLE001
+        print(f"strided sublane read: FAILED — "
+              f"{type(ex).__name__}: {ex}"[:300])
+
 
 if __name__ == "__main__":
     main()

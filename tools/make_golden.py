@@ -44,7 +44,7 @@ def render_golden_frames(n_frames: int = 3):
         sdf_trace=SDFTraceSettings(enabled=True, trace_steps=16),
         # tests pin 1024 shadows: full reference parity (2048) is a bench /
         # production default; the golden predates the default bump
-        shadows=ShadowSettings(resolution=1024),
+        shadows=ShadowSettings(resolution=512),
         exposure_adaption_speed=1000.0)
     luts = frame_mod.bake_static_luts(settings)
     state = initial_state(256, 128)

@@ -83,7 +83,7 @@ def main():
     alpha_masks = scene.get("alpha_masks")
     alpha_slots = scene.get("tri_alpha_slot")
 
-    def make_fn(sub, cull, rowskip=False):
+    def make_fn(sub, cull, rowskip=False, opaque=False, ew=None):
         s_nty = sres // (raster.TILE_H * sub)
         s_ntx = sres // raster.TILE_W
 
@@ -120,26 +120,42 @@ def main():
                 tile_bbox=bbox_a.reshape(-1, 4),
                 valid=setup.valid.reshape(-1),
                 fine_y=(setup.fine_y + fine_offs).reshape(-1, 2))
+            if opaque:
+                # production opaque-stream path: 4-plane table, alpha
+                # casters culled out, optional eval_width sweep
+                import dataclasses as _dc
+                is_a = jnp.tile(alpha_slots > 0, n_cas)
+                atlas_setup = _dc.replace(
+                    atlas_setup, edges=atlas_setup.edges[:, :4],
+                    valid=atlas_setup.valid & ~is_a)
             pairs = raster.build_pairs(atlas_setup, n_cas * s_nty, s_ntx,
                                        n_views=n_cas, tile_cap=1 << 15,
                                        bin_rows=sub, order_rows=rowskip)
             edges_p, _ = raster.gather_pair_setups(atlas_setup, pairs, False,
                                                    row_extents=rowskip)
             atlas = raster.rasterize_depth(edges_p, pairs, n_cas * s_nty,
-                                           s_ntx, alpha_masks=alpha_masks,
-                                           sub=sub, row_skip=rowskip)
+                                           s_ntx,
+                                           alpha_masks=(None if opaque
+                                                        else alpha_masks),
+                                           sub=sub, row_skip=rowskip,
+                                           eval_width=ew)
             return (atlas.sum(), jnp.sum(pairs.tile_count), pairs.overflow,
                     jnp.max(pairs.tile_count))
         return run
 
     results = {}
     for spec in args.culls.split(","):
-        cull, _, mod = spec.partition("+")
-        rowskip = mod == "rowskip"
+        cull, *mods = spec.split("+")
+        rowskip = "rowskip" in mods
+        opaque = "opaque" in mods
+        ew = None
+        for m in mods:
+            if m.startswith("ew"):
+                ew = int(m[2:])
         for sub in (int(x) for x in args.subs.split(",")):
             if sres % (raster.TILE_H * sub):
                 continue
-            fn = make_fn(sub, cull, rowskip)
+            fn = make_fn(sub, cull, rowskip, opaque, ew)
             t0 = time.time()
             out = jax.block_until_ready(fn(cascade_mats, scene, alpha_masks, alpha_slots))
             compile_s = time.time() - t0
